@@ -28,4 +28,18 @@ object Tables {
     } else spark.read.parquet(s"$sfDir/$name.parquet")
     df
   }
+
+  /** Spread a scan across all cores before a compute-heavy stage.
+    *
+    * A single small parquet file scans as ONE split, serializing every
+    * downstream map-heavy stage onto one core. Queries whose per-row work
+    * dominates (shingling, hashing, vector math) call this on their
+    * input; scan-bound queries don't (the shuffle would cost more than it
+    * buys). On real multi-file multi-row-group inputs — the 100 TB case —
+    * the condition is false and this is a no-op.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
 }

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is shuffle-bounded by a *blocking key*
+  * (content hash, LSH band, language+length bucket) so candidate
+  * generation is an equi-join on that key — never an all-pairs cross
+  * join. Candidate pairs travel as narrow (id, id) rows; heavy shingle
+  * arrays are joined back only for the final verify. Hashing is done
+  * once per shingle (md5 → 48-bit int), then seeds are applied with
+  * exact integer mixing (a·h+b mod p) — O(shingles) digests instead of
+  * O(shingles·seeds).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the minimum id. Output one
+    * row per distinct content with its replica count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** 48-bit integer hash per shingle (first 12 hex digits of md5) —
+    * the one digest each shingle ever pays. */
+  def shingleHashes(shingleSet: Column): Column =
+    array_distinct(transform(shingleSet,
+      g => conv(substring(md5(g), 1, 12), 16, 10).cast("long")))
+
+  val MersennePrime61 = 2305843009213693951L // 2^61-1
+
+  /** Permutation min-hash via integer mixing: min over (a_s·h + b_s) mod p.
+    * h < 2^48 and a_s ≤ 25 keep products < 2^53 — exact in any engine. */
+  def minhashInt(hs: Column, seed: Int): Column =
+    array_min(transform(hs,
+      h => (h * lit(2L * seed + 3) + lit(seed * 12347L + 67)) % lit(MersennePrime61)))
+
+  /** LSH band key: hash of adjacent minhashes (decimal string form). */
+  def bandKey(mh: Seq[Column]): Column =
+    md5(concat_ws("|", mh.map(_.cast("string")): _*))
+
+  /** Exact Jaccard over two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash+LSH near-duplicate pairs:
+    * shingle-hash → 2k minhashes → k band keys → explode → equi-join on
+    * narrow (band, id) rows → distinct candidate pairs → join hash sets
+    * back → exact Jaccard verify ≥ threshold.
+    *
+    * `docs` must have columns (id, shingles: array<string>).
+    */
+  def minhashLshPairs(docs: DataFrame, nBands: Int, threshold: Double): DataFrame = {
+    val hs = docs.select(col("id"), shingleHashes(col("shingles")).as("hs")).cache()
+    val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
+    val bands = (0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))
+    val banded = hs.select(col("id"), explode(array(bands: _*)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("h_a"), col("h_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Hex-digit value of md5 at `pos` (1-based), as SQL shared by engines. */
+  def md5DigitSql(mExpr: String, pos: Int): String =
+    s"(instr('0123456789abcdef', substr($mExpr, $pos, 1)) - 1)"
+
+  /** SimHash bit-vote sum for bit j, referencing a precomputed digit
+    * column d{j/4+1}. `divOp` is "div" (Spark) or "//" (DuckDB). */
+  def simhashBitSql(j: Int, divOp: String): String = {
+    val pos = j / 4 + 1
+    val pow = 1 << (j % 4)
+    s"sum(CASE WHEN ((d$pos $divOp $pow) % 2) = 1 THEN 1 ELSE -1 END)"
+  }
+
+  /** 32-bit SimHash per document: explode tokens, md5 each token ONCE,
+    * precompute its 8 leading hex-digit values, then 32 ±1 bit votes
+    * (map-side combined), majority → bit. `docs` needs (id, tokens). */
+  def simhash32(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("id"), explode(col("tokens")).as("tok"))
+      .select(col("id"), md5(col("tok")).as("m"))
+      .select(col("id") +: (1 to 8).map(p => expr(md5DigitSql("m", p)).as(s"d$p")): _*)
+    val bitSums = (0 until 32).map(j => expr(simhashBitSql(j, "div")).as(s"s$j"))
+    val packed = (0 until 32)
+      .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.cast("long").as("simhash"))
+  }
+
+  /** Character-n-gram Jaccard near-dup pairs within blocking buckets
+    * (equi-join on the bucket key; no cross join). `docs` needs
+    * (id, bucket, grams) — grams as SORTED DISTINCT packed ints (see
+    * TextAnalysis.charNgramInts + array_sort) so the verify kernel is the
+    * two-pointer SortedLongJaccard expression over primitive longs.
+    * `broadcastGrams`: when one side's gram table fits in executor memory
+    * (it is |docs|·|grams|·8B — a few MB per million short docs), a
+    * broadcast join keeps the pair stream pipelined inside one stage with
+    * no shuffle; at larger scale leave false for a bucket-partitioned
+    * sort-merge join. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        broadcastGrams: Boolean = false): DataFrame = {
+    val l = docs.select(col("bucket"), col("id").as("id_a"), col("grams").as("g_a"))
+    val r0 = docs.select(col("bucket"), col("id").as("id_b"), col("grams").as("g_b"))
+    val r = if (broadcastGrams) broadcast(r0) else r0
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayJaccard.sortedLongJaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

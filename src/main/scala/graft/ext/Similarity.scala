@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (the exactness
+  * baseline) and an LSH-bucketed variant (the scale path).
+  *
+  * Numeric design: embeddings are quantized to integer-valued doubles
+  * (round(x·10⁴)) before any arithmetic. Every product (≤ ~10⁸) and
+  * 64-term sum (≤ ~10¹⁰) is then exact in IEEE double regardless of
+  * accumulation order, so cosine = dot/sqrt(n2a·n2b) is bit-deterministic
+  * across engines and partitionings — a correctness property (hash-stable
+  * results) AND a scale property (no reduce-order nondeterminism).
+  */
+object Similarity {
+
+  /** Quantized copy of a float-array embedding: array<double> with integer
+    * values. */
+  def quantize(emb: Column, scale: Int = 10000): Column =
+    transform(emb, x => round(x.cast("double") * scale))
+
+  /** Exact dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared norm. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine from precomputed dot and squared norms — a single deterministic
+    * double expression. */
+  def cosine(dotAb: Column, n2a: Column, n2b: Column): Column =
+    dotAb / sqrt(n2a * n2b)
+
+  /** Add (qvec, n2) columns to an embeddings DataFrame with (id, emb).
+    * The quantized vector is bound once (Lambda.bind1) so ProjectCollapse
+    * cannot inline its defining transform into the norm's per-element
+    * lambda (which would re-quantize the vector once per element). */
+  def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol).as("id"), quantize(col(embCol)).as("qvec"))
+      .withColumn("n2", graft.functions.Lambda.bind1(col("qvec"))(a => norm2(a)))
+
+  /** Brute-force cosine top-k: every query row scans all candidates.
+    * Exact; O(|Q|·N) — the baseline and the recall oracle for ANN.
+    * The query side is broadcast so the candidate scan never shuffles;
+    * top-k per query is a windowed rank over |Q| partitions. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
+    val c = candidates.select(col("id").as("c_id"), col("qvec").as("c_vec"), col("n2").as("c_n2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(dot(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random projection vectors for LSH, derived from
+    * MD5 so the same literals can be embedded in any engine's SQL:
+    * r(j,i) = (first-4-hex-digits of md5("j_i")) mod 2001 − 1000. */
+  def projectionVectors(nProj: Int, dim: Int): Seq[Seq[Int]] = {
+    val mdThread = java.security.MessageDigest.getInstance("MD5")
+    (0 until nProj).map { j =>
+      (0 until dim).map { i =>
+        val h = mdThread.digest(s"${j}_$i".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        (Integer.parseInt(h, 16) % 2001) - 1000
+      }
+    }
+  }
+
+  /** LSH bucket id: sign bits of the projections onto `projs`. Integer
+    * dot products (exact), so bucketing is engine-deterministic. */
+  def lshBucket(qvec: Column, projs: Seq[Seq[Int]]): Column =
+    projs.zipWithIndex.map { case (p, j) =>
+      val proj = dot(qvec, array(p.map(v => lit(v.toDouble)): _*))
+      when(proj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN top-k: candidates are restricted to the query's
+    * bucket — the cross join becomes an equi-join on bucket, which at
+    * scale is the difference between O(N²) and O(N²/2^b) with perfect
+    * partition alignment. Approximate (single-probe). */
+  def lshTopK(prepared: DataFrame, queryPred: Column, projs: Seq[Seq[Int]], k: Int): DataFrame = {
+    val bucketed = prepared.withColumn("bucket", lshBucket(col("qvec"), projs))
+    val q = bucketed.filter(queryPred)
+      .select(col("bucket"), col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
+    val c = bucketed
+      .select(col("bucket"), col("id").as("c_id"), col("qvec").as("c_vec"), col("n2").as("c_n2"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(dot(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs within LSH buckets. */
+  def nearDupPairs(prepared: DataFrame, projs: Seq[Seq[Int]], threshold: Double): DataFrame = {
+    val bucketed = prepared.withColumn("bucket", lshBucket(col("qvec"), projs))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("qvec").as("v_a"), col("n2").as("n2_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("qvec").as("v_b"), col("n2").as("n2_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(dot(col("v_a"), col("v_b")), col("n2_a"), col("n2_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting. All pure Column
+  * expressions (codegen'd, no UDFs) so they run at scan speed and stay
+  * inside WholeStageCodegen — at 100 TB these are map-only passes with
+  * zero shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token array. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation
+    * marks — the pre-tokenizer split most BPE vocabularies assume. */
+  val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Normalized text: lowercase, punctuation stripped, whitespace
+    * collapsed — the canonical form for fingerprinting/dedup. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** MD5 content fingerprint of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normText(text))
+
+  import graft.functions.Lambda.bind1
+
+  /** One word k-gram starting at 1-based position i of bound array `a`. */
+  private def gramAt(a: Column, i: Column, k: Int): Column =
+    concat_ws(" ", (0 until k).map(j => element_at(a, i + j)): _*)
+
+  /** Min-hash over word k-grams of the normalized text (a single-seed
+    * winnowing-style fingerprint: two documents sharing their minimal
+    * k-gram hash are near-dup candidates). */
+  def minShingleHash(text: Column, k: Int = 5): Column =
+    bind1(split(normText(text), " ")) { a =>
+      array_min(transform(sequence(lit(1), greatest(size(a) - (k - 1), lit(1))),
+        i => md5(gramAt(a, i, k))))
+    }
+
+  /** Word k-gram shingle set (distinct) — the unit of Jaccard similarity. */
+  def shingles(text: Column, k: Int = 3): Column =
+    bind1(split(normText(text), " ")) { a =>
+      array_distinct(transform(sequence(lit(1), greatest(size(a) - (k - 1), lit(1))),
+        i => gramAt(a, i, k)))
+    }
+
+  /** Character n-gram set (distinct). */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val nGrams = greatest(length(text) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nGrams), i => text.substr(i, lit(n))))
+  }
+
+  /** Character n-gram set packed into collision-free int64s
+    * (codepoint-radix 0x110000): downstream joins/intersects shuffle and
+    * compare longs instead of strings — same sets, ~4× cheaper verify. */
+  def charNgramInts(text: Column, n: Int = 3): Column = {
+    val M = 1114112L // 0x110000 > any Unicode codepoint
+    val nGrams = greatest(length(text) - (n - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), nGrams), i =>
+      (0 until n).map(k => ascii(text.substr(i + k, lit(1))))
+        .reduce((acc, c) => acc * M + c)))
+  }
+
+  /** Stopword lists per language (disjoint, ASCII-safe except zh). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "y", "por", "para"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "有", "我"))
+
+  /** Per-language stopword hit count over the token array. */
+  def langScore(text: Column, lang: String): Column = {
+    val stops = Stopwords.toMap.apply(lang)
+    size(filter(tokens(lower(text)), t => stops.foldLeft(lit(false))((acc, s) => acc || t === s)))
+  }
+
+  /** Predicted language: argmax of stopword hits, ties broken by language
+    * code ascending; no hits at all → "und" (undetermined). */
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.sortBy(_._1).foldLeft(when(maxScore === 0, "und")) {
+      case (acc, (lang, sc)) => acc.when(sc === maxScore, lang)
+    }
+    chain.otherwise("und")
+  }
+}

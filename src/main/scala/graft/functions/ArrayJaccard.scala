@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Jaccard similarity of two SORTED, DISTINCT long arrays via a single
+  * two-pointer merge — no per-row hash set, no boxing, no intermediate
+  * array. `|A∩B| / (|A| + |B| − |A∩B|)` as double.
+  *
+  * This is the verify kernel of the n-gram/shingle dedup operators: at
+  * 588k candidate pairs per 5k documents it replaces
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` (two hash-set
+  * builds + two materialized arrays per pair) with one linear pass over
+  * primitive longs. Inputs MUST be array_sort(array_distinct(...)) — the
+  * caller owns that invariant (sorting once per document, not per pair).
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_long_jaccard"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object ArrayJaccard {
+  /** Column API: jaccard of two sorted-distinct long arrays. */
+  def sortedLongJaccard(a: Column, b: Column): Column =
+    Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
+
+/** LLM-training-data pipeline operators (SURVEY §7.1 item 9 / the north
+  * star): dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine), similarity search (brute-force + LSH ANN), text
+  * analysis (lang-ID, quality, tokens, fingerprint), multimodal metadata.
+  *
+  * Oracle strategy: operators whose SQL form needs generated expression
+  * pyramids (simhash bit votes, LSH projections) build BOTH the Spark
+  * expression and the DuckDB SQL from one template, so the two engines
+  * execute the same algorithm by construction.
+  */
+object ExtQueries {
+
+  /** DuckDB rendering of TextAnalysis.normText. */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  // --- generated SQL fragments (shared shape between engines) -----------
+
+  private def simhashOracle: String = {
+    val digits = (1 to 8).map(p => Dedup.md5DigitSql("m", p) + s" AS d$p").mkString(",\n        ")
+    val sums = (0 until 32).map(j => Dedup.simhashBitSql(j, "//") + s" AS s$j").mkString(",\n        ")
+    val packed = (0 until 32).map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+      h AS (SELECT doc_id, md5(tok) AS m FROM tk),
+      dg AS (SELECT doc_id,
+        $digits
+        FROM h),
+      s AS (SELECT doc_id,
+        $sums
+        FROM dg GROUP BY doc_id)
+      SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
+  }
+
+  private val Projs = Similarity.projectionVectors(4, 64)
+
+  /** DuckDB literal for one projection vector. */
+  private def projList(p: Seq[Int]): String =
+    p.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+
+  private def bucketSql: String =
+    Projs.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(qvec, ${projList(p)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val prepSql =
+    """p AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS qvec FROM embeddings),
+      n AS (SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS n2 FROM p)"""
+
+  val queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- text: token counting ------------------------------------------
+    ("q16_text_tokens", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.spread(Tables.t(s, dir, "documents")).select(
+          $"doc_id",
+          TA.wsTokenCount($"text").as("ws_tokens"),
+          TA.bpeTokenCount($"text").cast("long").as("bpe_tokens"),
+          length($"text").as("n_chars_calc"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id,
+        len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '${TA.BpePattern}')) AS BIGINT) AS bpe_tokens,
+        length(text) AS n_chars_calc
+      FROM documents ORDER BY doc_id""")),
+
+    // ----- text: quality scoring -----------------------------------------
+    ("q17_text_quality", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val n = length($"text")
+      val alpha = regexp_count($"text", lit("[a-z]"))
+      val punct = regexp_count($"text", lit("[^a-z0-9 ]"))
+      val toks = TA.tokens(lower($"text"))
+      val stops = TA.Stopwords.toMap.apply("en")
+      val swHits = size(filter(toks, t => stops.foldLeft(lit(false))((a, w) => a || t === w)))
+      Tables.spread(Tables.t(s, dir, "documents")).select(
+          $"doc_id",
+          n.as("n_chars_calc"),
+          (alpha.cast("double") / n).as("alpha_ratio"),
+          (punct.cast("double") / n).as("punct_ratio"),
+          (swHits.cast("double") / size(toks)).as("stopword_ratio"),
+          when(n < 60, "too_short")
+            .when(swHits === 0, "no_stopwords")
+            .otherwise("ok").as("quality_label"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        length(text) AS n_chars_calc,
+        CAST(len(regexp_extract_all(text, '[a-z]')) AS DOUBLE) / length(text) AS alpha_ratio,
+        CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) / length(text) AS punct_ratio,
+        CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+          t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+          / len(string_split_regex(trim(lower(text)), '\s+')) AS stopword_ratio,
+        CASE WHEN length(text) < 60 THEN 'too_short'
+             WHEN len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               t -> t IN ('the','a','of','and','to','in','is'))) = 0 THEN 'no_stopwords'
+             ELSE 'ok' END AS quality_label
+      FROM documents ORDER BY doc_id""")),
+
+    // ----- text: language ID (stopword-hit heuristic) --------------------
+    ("q18_text_langid", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val scores = TA.Stopwords.map { case (l, _) => l -> TA.langScore($"text", l) }
+      Tables.spread(Tables.t(s, dir, "documents")).select(
+          ($"doc_id" +: scores.map { case (l, c) => c.as(s"score_$l") } :+
+            TA.langPredict(scores).as("pred_lang") :+ $"lang"): _*)
+        .orderBy("doc_id")
+    }, Some {
+      val scoreSql = TA.Stopwords.map { case (l, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ($inList))) AS score_$l"
+      }.mkString(",\n        ")
+      val langs = TA.Stopwords.map(_._1).sorted
+      val maxExpr = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+      val chain = langs.map(l => s"WHEN score_$l = $maxExpr THEN '$l'").mkString(" ")
+      s"""
+      WITH s AS (SELECT doc_id, lang,
+        $scoreSql
+        FROM documents)
+      SELECT doc_id, ${langs.map("score_" + _).mkString(", ")},
+        CASE WHEN $maxExpr = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang, lang
+      FROM s ORDER BY doc_id"""
+    }),
+
+    // ----- text: fingerprinting (md5 + min-shingle-hash) -----------------
+    ("q19_text_fingerprint", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.spread(Tables.t(s, dir, "documents")).select(
+          $"doc_id",
+          TA.fingerprintMd5($"text").as("fp_md5"),
+          TA.minShingleHash($"text", 5).as("min_shingle_hash"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $normSql AS norm FROM documents),
+      a AS (SELECT doc_id, norm, string_split(norm, ' ') AS arr FROM d)
+      SELECT doc_id, md5(norm) AS fp_md5,
+        list_min(list_transform(range(1, greatest(len(arr) - 4, 1) + 1),
+          i -> md5(array_to_string(arr[i:i+4], ' ')))) AS min_shingle_hash
+      FROM a ORDER BY doc_id""")),
+
+    // ----- dedup: exact (hash-groupBy over a doubled corpus) -------------
+    ("q20_dedup_exact", (s: SparkSession, dir: String) => {
+      val docs = Tables.t(s, dir, "documents")
+      Dedup.exactDedup(docs.unionByName(docs), "doc_id", "text")
+        .orderBy("keep_id")
+    }, Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // ----- dedup: MinHash + LSH banding + Jaccard verify -----------------
+    ("q21_dedup_minhash", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id".as("id"), TA.shingles($"text", 3).as("shingles"))
+      Dedup.minhashLshPairs(docs, nBands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }, Some {
+      val p = Dedup.MersennePrime61
+      val mhDefs = (0 until 8).map(s =>
+        s"list_min(list_transform(hs, h -> (h * ${2L * s + 3} + ${s * 12347L + 67}) % $p)) AS m$s")
+        .mkString(",\n        ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, md5(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS band_key FROM mh")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
+        i -> array_to_string(arr[i:i+2], ' '))) AS sh FROM d),
+      hst AS (SELECT doc_id, list_distinct(list_transform(sh,
+        g -> ('0x' || substr(md5(g), 1, 12))::BIGINT)) AS hs FROM sh),
+      mh AS (SELECT doc_id,
+        $mhDefs
+        FROM hst),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_idx, band_key)
+        WHERE a.doc_id < b.doc_id),
+      verified AS (SELECT id_a, id_b,
+        len(list_intersect(ha.hs, hb.hs)) / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jaccard
+        FROM cand
+        JOIN hst ha ON ha.doc_id = id_a
+        JOIN hst hb ON hb.doc_id = id_b)
+      SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b"""
+    }),
+
+    // ----- dedup: 32-bit SimHash -----------------------------------------
+    ("q22_dedup_simhash", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id".as("id"), TA.tokens($"text").as("tokens"))
+      Dedup.simhash32(docs).select($"id".as("doc_id"), $"simhash").orderBy("doc_id")
+    }, Some(simhashOracle)),
+
+    // ----- dedup: n-gram Jaccard within (lang, length-bucket) blocks -----
+    ("q23_dedup_ngram", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
+        $"doc_id".as("id"),
+        concat($"lang", lit("_"), expr("n_chars div 100")).as("bucket"),
+        array_sort(TA.charNgramInts($"text", 3)).as("grams"))
+      Dedup.ngramJaccardPairs(docs, threshold = 0.55, broadcastGrams = true)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH d AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS bucket,
+        list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+          i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 1114112 + ascii(substr(text, i + 1, 1))) * 1114112 + ascii(substr(text, i + 2, 1)))) AS grams
+        FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      FROM d a JOIN d b USING (bucket)
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.55
+      ORDER BY id_a, id_b""")),
+
+    // ----- similarity: brute-force cosine top-k --------------------------
+    ("q24_ann_bruteforce", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      Similarity.bruteForceTopK(prepared.filter($"id" % 100 === 0), prepared, k = 5)
+        .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some(s"""
+      WITH $prepSql,
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(q.qvec, c.qvec) / sqrt(q.n2 * c.n2) AS cos_sim
+        FROM n c, q WHERE q.vec_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ----- similarity: LSH-bucketed ANN top-k ----------------------------
+    ("q25_ann_lsh", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      Similarity.lshTopK(prepared, col("id") % 100 === 0, Projs, k = 3)
+        .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some(s"""
+      WITH $prepSql,
+      b AS (SELECT vec_id, qvec, n2, $bucketSql AS bucket FROM n),
+      q AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+      scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(q.qvec, c.qvec) / sqrt(q.n2 * c.n2) AS cos_sim
+        FROM b c JOIN q ON c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+
+    // ----- similarity: embedding-cosine near-dup pairs -------------------
+    ("q26_embed_neardup", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      Similarity.nearDupPairs(prepared, Projs, threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }, Some(s"""
+      WITH $prepSql,
+      b AS (SELECT vec_id, qvec, n2, $bucketSql AS bucket FROM n)
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        list_dot_product(a.qvec, c.qvec) / sqrt(a.n2 * c.n2) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_dot_product(a.qvec, c.qvec) / sqrt(a.n2 * c.n2) >= 0.4
+      ORDER BY id_a, id_b""")),
+
+    // ----- multimodal: binary payload + typed metadata -------------------
+    ("q27_multimodal_meta", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val hx = lower(hex(encode($"text", "UTF-8")))
+      val d = (p: Int) => expr(s"instr('0123456789abcdef', substr(lower(hex(encode(text, 'UTF-8'))), $p, 1)) - 1")
+      Tables.spread(Tables.t(s, dir, "documents")).select(
+          $"doc_id",
+          expr("octet_length(encode(text, 'UTF-8'))").as("n_bytes"),
+          md5($"text").as("payload_md5"),
+          substring(hx, 1, 16).as("head_hex"),
+          ceil(expr("octet_length(encode(text, 'UTF-8'))") / lit(64.0)).cast("long").as("chunk_count"),
+          (lit(32) + (d(1) * 16 + d(2)) % 64).as("fake_w"),
+          (lit(32) + (d(3) * 16 + d(4)) % 64).as("fake_h"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (SELECT doc_id, text, lower(hex(encode(text))) AS hx FROM documents)
+      SELECT doc_id,
+        octet_length(encode(text)) AS n_bytes,
+        md5(text) AS payload_md5,
+        substr(hx, 1, 16) AS head_hex,
+        CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS chunk_count,
+        32 + ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64 AS fake_w,
+        32 + ((instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 64 AS fake_h
+      FROM d ORDER BY doc_id""")),
+
+    // ----- events: gap-based sessionization ------------------------------
+    ("q28_sessionize", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.t(s, dir, "events")
+        .select($"user_id", $"event_id", unix_timestamp(date_trunc("second", $"ts")).as("tsec"))
+      val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+      val flagged = ev.withColumn("new_sess",
+        when(lag($"tsec", 1).over(w).isNull || $"tsec" - lag($"tsec", 1).over(w) > 1800, 1L)
+          .otherwise(0L))
+      flagged.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"new_sess").as("n_sessions"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec FROM events),
+      f AS (SELECT user_id,
+        CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) IS NULL
+               OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) > 1800
+             THEN 1 ELSE 0 END AS new_sess
+        FROM e)
+      SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+      FROM f GROUP BY user_id ORDER BY user_id"""))
+  )
+}
