@@ -32,9 +32,12 @@ object TextAnalysis {
 
   import graft.functions.Lambda.bind1
 
-  /** One word k-gram starting at 1-based position i of bound array `a`. */
+  /** One word k-gram starting at 1-based position i of bound array `a`.
+    * try_element_at: the final grams of a short text run past the array
+    * end (ANSI element_at would throw); concat_ws drops the nulls, which
+    * matches the truncating slice the DuckDB oracle uses (arr[i:i+k-1]). */
   private def gramAt(a: Column, i: Column, k: Int): Column =
-    concat_ws(" ", (0 until k).map(j => element_at(a, i + j)): _*)
+    concat_ws(" ", (0 until k).map(j => try_element_at(a, i + j)): _*)
 
   /** Min-hash over word k-grams of the normalized text (a single-seed
     * winnowing-style fingerprint: two documents sharing their minimal

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Scale-readiness checks on the physical plans themselves: pushdown,
+  * pruning, broadcast choice. These are the properties that decide
+  * whether a plan survives a 100 TB input, asserted at test scale.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def explained(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed to the parquet scan") {
+    val df = Tables.t(spark, TestSpark.Sf, "lineitem")
+      .filter($"l_orderkey" > 100).select("l_orderkey", "l_quantity")
+    val plan = explained(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]"),
+      s"missing pushed filter in:\n$plan")
+  }
+
+  test("column pruning reaches the scan (ReadSchema)") {
+    val df = Tables.t(spark, TestSpark.Sf, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = explained(df)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection needs:\n$plan")
+  }
+
+  test("q10 join_agg broadcasts the small dimension tables") {
+    val plan = explained(SparkEntry.queries("q10_join_agg")(spark, TestSpark.Sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("q11 sort+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = explained(SparkEntry.queries("q11_sort_limit")(spark, TestSpark.Sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort used for top-k:\n$plan")
+  }
+
+  test("q01 aggregation is map-side combined (partial HashAggregate)") {
+    val plan = explained(SparkEntry.queries("q01_agg")(spark, TestSpark.Sf))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, // partial + final
+      s"no two-phase aggregate in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the q01 pipeline (AQE final plan)") {
+    val df = SparkEntry.queries("q01_agg")(spark, TestSpark.Sf)
+    df.collect() // AQE only materializes the final plan after execution
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the compact plan string
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen span in:\n$plan")
+  }
+}

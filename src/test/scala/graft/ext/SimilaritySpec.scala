@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def embDf = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 1
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 1
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)))  // opposite of 1
+    .toDF("vec_id", "embedding")
+
+  test("cosine: self=1, orthogonal=0, opposite=-1") {
+    val p = Similarity.prepare(embDf, "vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(p.filter($"id" === 1), p, 3)
+      .orderBy("rank").collect()
+    assert(topk.map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L)) // by similarity desc
+    assert(math.abs(topk(0).getDouble(3) - (0.9 / math.sqrt(0.81 + 0.01))) < 1e-9)
+    assert(topk(1).getDouble(3) == 0.0)
+    assert(topk(2).getDouble(3) == -1.0)
+  }
+
+  test("quantization makes dot products exact integers") {
+    val p = Similarity.prepare(embDf, "vec_id", "embedding")
+    val n2 = p.orderBy("id").select("n2").as[Double].collect()
+    assert(n2(0) == 1e8) // (1.0*10000)^2
+    assert(n2(3) == 1e8)
+  }
+
+  test("lshBucket: identical vectors share a bucket, opposite vectors don't") {
+    val projs = Similarity.projectionVectors(4, 4)
+    val p = Similarity.prepare(embDf, "vec_id", "embedding")
+      .withColumn("bucket", Similarity.lshBucket($"qvec", projs))
+    val buckets = p.orderBy("id").select("bucket").as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 16))
+    assert(buckets(0) != buckets(3)) // v and -v flip every sign bit
+    assert(buckets(0) == (~buckets(3) & 0xf))
+  }
+
+  test("projectionVectors are deterministic") {
+    assert(Similarity.projectionVectors(2, 8) == Similarity.projectionVectors(2, 8))
+  }
+
+  test("nearDupPairs finds the planted near-duplicate") {
+    val projs = Similarity.projectionVectors(4, 4)
+    val p = Similarity.prepare(embDf, "vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(p, projs, 0.9).collect()
+    assert(pairs.length == 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (1L, 2L))
+  }
+}
