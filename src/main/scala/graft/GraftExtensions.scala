@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.SortedLongJaccard
+
+/** SparkSessionExtensions entry point: registers the library's custom
+  * Catalyst expressions for SQL use.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions). ...
+  * or spark.sql.extensions=graft.GraftExtensions, or
+  * `GraftExtensions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.sortedLongJaccardFn)
+  }
+}
+
+object GraftExtensions {
+  private def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "sorted_long_jaccard(arrayA, arrayB)")
+    SortedLongJaccard(exprs(0), exprs(1))
+  }
+
+  val sortedLongJaccardFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_long_jaccard"),
+    new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_long_jaccard"),
+    build _)
+
+  /** Register on an already-built session (tests, shells). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_long_jaccard", build, "built-in")
+}

@@ -1,0 +1,79 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.{GraftConfig, YamlConfig}
+
+/** Subcommand surface (C7, cmd/create.go:18-281 / compare.go / version.go):
+  *
+  *   graft-cli [--config x.yml] <command>
+  *     run          full migration (mysql2pg, root.go:60-213)
+  *     createTable  structure only (createTable -s ≙ `run -s`)
+  *     onlyData     data phase only (create.go:177-281)
+  *     seqOnly | idxOnly | viewOnly   single DDL-object phases
+  *     compareDb    per-table count verification (compare.go)
+  *     version      version string (version.go)
+  */
+object GraftCli {
+
+  val Version = "gomysql2pgspark v0.1.0"
+
+  def main(args: Array[String]): Unit = {
+    val (flags, cmds) = args.partition(_.startsWith("--"))
+    val cfgPath = flags.collectFirst { case f if f.startsWith("--config=") => f.drop(9) }
+      .getOrElse("graft.yml")
+    val cmd = cmds.headOption.getOrElse("help")
+
+    if (cmd == "version") { println(Version); return }
+    if (cmd == "help") { println(usage); return }
+
+    val cfg =
+      if (Files.exists(Paths.get(cfgPath)))
+        YamlConfig.parse(Files.readString(Paths.get(cfgPath)))
+      else GraftConfig()
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("gomysql2pgspark")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try runCommand(spark, cfg, cmd)
+    catch {
+      case e: Throwable =>
+        val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
+        System.err.println(
+          s"graft-cli: $cmd failed: ${root.getClass.getSimpleName}: ${root.getMessage}\n" +
+            s"  source: ${cfg.src.mysqlJdbcUrl}\n  target: ${cfg.dest.pgJdbcUrl}\n" +
+            "  check --config connection settings and network reachability")
+        sys.exit(1)
+    } finally spark.stop()
+  }
+
+  private def runCommand(spark: SparkSession, cfg: GraftConfig, cmd: String): Unit = {
+    {
+      val source = new JdbcCatalogSource(spark, cfg)
+      val sink = new JdbcSink(spark, cfg)
+      val runner = new Migration.Runner(spark, cfg, source, sink)
+      cmd match {
+        case "run"         => runner.run().show(false)
+        case "createTable" => runner.tableStructure(); runner.report().show(false)
+        case "onlyData"    => runner.tableData(); runner.report().show(false)
+        case "seqOnly"     => runner.sequences(); runner.report().show(false)
+        case "idxOnly"     => runner.indexes(); runner.report().show(false)
+        case "viewOnly"    => runner.views(); runner.report().show(false)
+        case "compareDb"   =>
+          val rep = runner.compare()
+          rep.show(false)                                   // all rows
+          graft.verify.CompareDb.failedOnly(rep).show(false) // failed-only table
+        case other => println(s"unknown command: $other\n$usage")
+      }
+    }
+  }
+
+  def usage: String =
+    """usage: graft-cli [--config=path.yml] <run|createTable|onlyData|seqOnly|idxOnly|viewOnly|compareDb|version>"""
+}

@@ -1,0 +1,159 @@
+package graft.cli
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Exclusion
+import graft.config.GraftConfig
+import graft.ddlgen.DdlGen
+import graft.transform.ValueTransforms
+import graft.types.{ColumnMeta, TypeMapper}
+import graft.verify.CompareDb
+
+/** The full-migration pipeline (cmd/root.go:60-213 `mysql2pg`) as phased
+  * Spark jobs. Phases are sequential (as in the reference); intra-phase
+  * parallelism is the Spark scheduler (replacing the maxParallel semaphore,
+  * root.go:106-117), and per-phase failure totals (A4, root.go:166-209)
+  * are collected from Try results instead of a channel-fed counter loop.
+  *
+  * I/O is abstracted so the same pipeline runs against live JDBC endpoints
+  * (io.Jdbc) or test fixtures: `CatalogSource` supplies the
+  * information_schema-shaped DataFrames (S3-S10), `MigrationSink` accepts
+  * DDL and table data (K1/K2).
+  */
+object Migration {
+
+  /** information_schema-shaped inputs (SURVEY §2.1 S3-S10). */
+  trait CatalogSource {
+    def tableNames: Seq[String]
+    def columns(table: String): Seq[ColumnMeta]
+    def tableData(table: String): DataFrame
+    def statistics: DataFrame       // S7 shape: table/index/non_unique/seq/col/type
+    def foreignKeys: (DataFrame, DataFrame) // S8: (key_column_usage, referential_constraints)
+    def autoIncrements: DataFrame   // S6 shape: table_name/column_name/auto_increment
+    def views: DataFrame            // S9 shape: table_name/view_definition
+    def triggers: DataFrame         // S10 shape: trigger_name/action_statement
+  }
+
+  /** Target-side effects (K1 bulk load, K2 DDL executor). */
+  trait MigrationSink {
+    def executeDdl(sql: String): Try[Unit]
+    def writeTable(table: String, df: DataFrame): Try[Long]
+    def rowCount(table: String): Option[Long]
+  }
+
+  case class PhaseResult(phase: String, objects: Long, failed: Long, elapsedMs: Long)
+
+  final class Runner(spark: SparkSession, cfg: GraftConfig,
+                     source: CatalogSource, sink: MigrationSink) {
+    private val results = mutable.ArrayBuffer[PhaseResult]()
+
+    private def phase[A](name: String)(body: => (Long, Long)): Unit = {
+      val t0 = System.nanoTime()
+      val (objects, failed) = body
+      results += PhaseResult(name, objects, failed, (System.nanoTime() - t0) / 1000000)
+    }
+
+    private def execAll(ddls: Seq[String]): (Long, Long) = {
+      val failed = ddls.count(sql => sink.executeDdl(sql).isFailure)
+      (ddls.size.toLong, failed.toLong)
+    }
+
+    /** Work list: configured custom tables, else full catalog minus
+      * exclusions (fetchTableMap, root.go:218-291). */
+    def workList: Seq[String] = {
+      val all =
+        if (cfg.tables.nonEmpty) cfg.tables.keys.toSeq
+        else source.tableNames
+      val pred = (t: String) => {
+        import spark.implicits._
+        Exclusion.filterExcluded(Seq(t).toDF("table_name"), "table_name", cfg.exclude).count() == 1
+      }
+      if (cfg.exclude.isEmpty) all.sorted else all.filter(pred).sorted
+    }
+
+    /** Phase 1: CREATE TABLE on the target (tablemeta.go:48-154). */
+    def tableStructure(): Unit = phase("TableStructure") {
+      val ddls = workList.map { t =>
+        TypeMapper.createTableDdl(t, source.columns(t))
+      }
+      execAll(workList.map(t => s"""drop table if exists "${t.toLowerCase}" cascade""")) // root.go:142
+      execAll(ddls)
+    }
+
+    /** Phase 2: row data — transform stack (§1.2) + bulk write per table
+      * (preMigData + runMigration, root.go:294-516). */
+    def tableData(): Unit = phase("TableData") {
+      var failed = 0L
+      workList.foreach { t =>
+        val df = ValueTransforms.scrubNulAll(
+          ValueTransforms.lowercaseColumns(source.tableData(t)))
+        if (sink.writeTable(t.toLowerCase, df).isFailure) failed += 1
+      }
+      (workList.size.toLong, failed)
+    }
+
+    /** Phase 3-6: DDL objects regenerated as DataFrame pipelines (S6-S10)
+      * then executed statement-by-statement with failure counting. */
+    def sequences(): Unit = phase("Sequence") {
+      val rows = DdlGen.sequenceDdl(source.autoIncrements).collect()
+      execAll(rows.flatMap(r => Seq(r.getAs[String]("drop_ddl"),
+        r.getAs[String]("create_ddl"), r.getAs[String]("default_ddl"))).toSeq)
+    }
+
+    def indexes(): Unit = phase("Index") {
+      execAll(DdlGen.indexDdl(source.statistics, suffix = "g1", distributed = cfg.distributed)
+        .collect().map(_.getAs[String]("ddl")).toSeq)
+    }
+
+    def foreignKeys(): Unit = phase("ForeignKey") {
+      val (kcu, rc) = source.foreignKeys
+      execAll(DdlGen.fkDdl(kcu, rc).collect().map(_.getAs[String]("ddl")).toSeq)
+    }
+
+    def views(): Unit = phase("View") {
+      execAll(DdlGen.viewDdl(source.views, cfg.src.database)
+        .collect().map(_.getAs[String]("ddl")).toSeq)
+    }
+
+    def triggers(): Unit = phase("Trigger") {
+      execAll(DdlGen.triggerDdl(source.triggers)
+        .collect().map(_.getAs[String]("body")).toSeq)
+    }
+
+    /** compareDb (cmd/compare.go): per-table count verification with the
+      * three outcome shapes (equal / unequal / missing target). */
+    def compare(): DataFrame = {
+      import spark.implicits._
+      val rows = workList.map { t =>
+        val s = source.tableData(t).count()
+        sink.rowCount(t.toLowerCase) match {
+          case Some(c) => CompareDb.TableReport(t, s, c, "YES", if (s == c) "YES" else "NO")
+          case None    => CompareDb.TableReport(t, s, -1L, "NO", "NO")
+        }
+      }
+      rows.toDF().orderBy("table_name")
+    }
+
+    /** C10 summary: one row per executed phase. */
+    def report(): DataFrame = {
+      import spark.implicits._
+      results.toSeq.toDF()
+    }
+
+    /** Full pipeline (C1): structure → data → sequence → index → FK →
+      * view → trigger, with `structureOnly`/`dataOnly` slices matching the
+      * -s / onlyData subcommands (create.go). */
+    def run(structureOnly: Boolean = false, dataOnly: Boolean = false): DataFrame = {
+      if (!dataOnly) tableStructure()
+      if (!structureOnly) tableData()
+      if (!structureOnly && !dataOnly) {
+        sequences(); indexes(); foreignKeys(); views(); triggers()
+      }
+      report()
+    }
+  }
+}

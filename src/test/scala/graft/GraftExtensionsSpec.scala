@@ -1,0 +1,15 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("sorted_long_jaccard is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_long_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+      .collect().head.getDouble(0)
+    assert(r == 0.5)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.cli
+
+import scala.collection.mutable
+import scala.util.{Failure, Success, Try}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.TestSpark
+import graft.config.GraftConfig
+import graft.types.ColumnMeta
+
+/** End-to-end pipeline test with fixture-backed endpoints: the same
+  * Runner that drives live JDBC runs against in-memory catalog/sink. */
+class MigrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixtureSource = new Migration.CatalogSource {
+    override def tableNames = Seq("t1", "log_skip")
+    override def columns(table: String) = Seq(
+      ColumnMeta("id", "int", None, Some(10), Some(0), "NO", None, 1),
+      ColumnMeta("name", "varchar", Some(20L), None, None, "YES", None, 2))
+    override def tableData(table: String) =
+      Seq((1, "a\u0000"), (2, "b")).toDF("ID", "NAME")
+    override def statistics =
+      Seq(("t1", "PRIMARY", 0, 1, "id", "BTREE")).toDF(
+        "table_name", "index_name", "non_unique", "seq_in_index", "column_name", "index_type")
+    override def foreignKeys = (
+      Seq(("fk1", "t1", "id", 1, "p", "pid")).toDF("constraint_name", "table_name",
+        "column_name", "ordinal_position", "referenced_table_name", "referenced_column_name"),
+      Seq(("fk1", "CASCADE", "RESTRICT")).toDF("constraint_name", "update_rule", "delete_rule"))
+    override def autoIncrements =
+      Seq(("t1", "id", 5L)).toDF("table_name", "column_name", "auto_increment")
+    override def views = Seq(("v1", "select `id` from test.`t1`")).toDF("table_name", "view_definition")
+    override def triggers = Seq(("tr1", "#c\nbody")).toDF("trigger_name", "action_statement")
+  }
+
+  private class RecordingSink extends Migration.MigrationSink {
+    val ddl = mutable.ArrayBuffer[String]()
+    val written = mutable.Map[String, Array[org.apache.spark.sql.Row]]()
+    var failDdlContaining: Option[String] = None
+    override def executeDdl(sql: String): Try[Unit] =
+      if (failDdlContaining.exists(sql.contains)) Failure(new RuntimeException("boom"))
+      else { ddl += sql; Success(()) }
+    override def writeTable(table: String, df: DataFrame): Try[Long] =
+      Try { written(table) = df.collect(); written(table).length.toLong }
+    override def rowCount(table: String): Option[Long] =
+      written.get(table).map(_.length.toLong)
+  }
+
+  private val cfg = GraftConfig(exclude = Seq("log*"),
+    src = graft.config.ConnConfig(database = "test"))
+
+  test("full run: phases in order, exclusion applied, transforms applied") {
+    val sink = new RecordingSink
+    val runner = new Migration.Runner(spark, cfg, fixtureSource, sink)
+    assert(runner.workList == Seq("t1")) // log_skip excluded by pattern
+    val report = runner.run().collect()
+    assert(report.map(_.getString(0)).toSeq ==
+      Seq("TableStructure", "TableData", "Sequence", "Index", "ForeignKey", "View", "Trigger"))
+    assert(report.forall(_.getLong(2) == 0L)) // no failures
+    // structure DDL correct
+    assert(sink.ddl.contains(
+      """create table "t1" ("id" int not null, "name" varchar(20) null)"""))
+    // data written lowercase-named, NUL-scrubbed
+    val rows = sink.written("t1").map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "a"), (2, "b")))
+    // DDL-object phases produced statements
+    assert(sink.ddl.exists(_.startsWith("create sequence seq_t1_id")))
+    assert(sink.ddl.exists(_.contains("add primary key (id)")))
+    assert(sink.ddl.exists(_.contains("foreign key (id) references p (pid)")))
+    assert(sink.ddl.exists(_.startsWith("create or replace view v1 as select id from t1")))
+  }
+
+  test("failure accounting (A4): failed DDL counts into the phase report") {
+    val sink = new RecordingSink
+    sink.failDdlContaining = Some("create sequence")
+    val runner = new Migration.Runner(spark, cfg, fixtureSource, sink)
+    runner.sequences()
+    val row = runner.report().collect().head
+    assert(row.getString(0) == "Sequence")
+    assert(row.getLong(2) == 1L) // one failed statement
+  }
+
+  test("compare: YES / missing-target outcomes (compare.go shapes)") {
+    val sink = new RecordingSink
+    val runner = new Migration.Runner(spark, cfg, fixtureSource, sink)
+    runner.tableData()
+    val ok = runner.compare().collect().head
+    assert(ok.getString(0) == "t1" && ok.getString(4) == "YES")
+    val emptySink = new RecordingSink
+    val r2 = new Migration.Runner(spark, cfg, fixtureSource, emptySink)
+    val missing = r2.compare().collect().head
+    assert(missing.getString(3) == "NO" && missing.getLong(2) == -1L)
+  }
+
+  test("structureOnly / dataOnly slices match the -s and onlyData subcommands") {
+    val sink = new RecordingSink
+    val r = new Migration.Runner(spark, cfg, fixtureSource, sink)
+    assert(r.run(structureOnly = true).collect().map(_.getString(0)).toSeq == Seq("TableStructure"))
+    val sink2 = new RecordingSink
+    val r2 = new Migration.Runner(spark, cfg, fixtureSource, sink2)
+    assert(r2.run(dataOnly = true).collect().map(_.getString(0)).toSeq == Seq("TableData"))
+  }
+
+  test("cli surface: version and help") {
+    GraftCli.main(Array("version"))
+    assert(GraftCli.usage.contains("compareDb"))
+  }
+}
