@@ -41,7 +41,8 @@ object GraftCli {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try runCommand(spark, cfg, cmd)
+    Cancellation.installShutdownHook(spark) // Ctrl-C kills in-flight work (app.go:205-216)
+    try Cancellation.interruptible(spark, s"graft-cli $cmd") { runCommand(spark, cfg, cmd) }
     catch {
       case e: Throwable =>
         val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq.last
