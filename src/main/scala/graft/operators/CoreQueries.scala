@@ -385,6 +385,73 @@ object CoreQueries {
         .orderBy("event_id")
     }, Some("""
       SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-      FROM events WHERE event_id < 500 ORDER BY event_id"""))
+      FROM events WHERE event_id < 500 ORDER BY event_id""")),
+
+    // ----- Grouping sets: ROLLUP subtotals -------------------------------
+    ("q29_rollup", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice", 2).as("total_spend"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    // ----- Anti/semi joins: EXISTS / NOT EXISTS --------------------------
+    ("q30_anti_semi_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cust = Tables.t(s, dir, "customer")
+      val orders = Tables.t(s, dir, "orders")
+      val without = cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", lit("no_orders").as("status"))
+      val withO = cust.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", lit("has_orders").as("status"))
+      without.unionByName(withO).orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, 'no_orders' AS status FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      UNION ALL
+      SELECT c_custkey, 'has_orders' FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    // ----- Distinct aggregates -------------------------------------------
+    ("q31_distinct_agg", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_orderkey").as("n_orders"),
+          countDistinct($"l_partkey").as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- Set operations -------------------------------------------------
+    ("q32_set_ops", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val liParts = Tables.t(s, dir, "lineitem").select($"l_partkey".as("partkey")).distinct()
+      val allParts = Tables.t(s, dir, "part").select($"p_partkey".as("partkey"))
+      val unsold = allParts.exceptAll(liParts).select($"partkey", lit("unsold").as("tag"))
+      val sold = allParts.intersect(liParts).select($"partkey", lit("sold").as("tag"))
+      unsold.unionByName(sold).orderBy("partkey")
+    }, Some("""
+      SELECT partkey, 'unsold' AS tag FROM (
+        SELECT p_partkey AS partkey FROM part
+        EXCEPT ALL
+        SELECT DISTINCT l_partkey FROM lineitem)
+      UNION ALL
+      SELECT partkey, 'sold' FROM (
+        SELECT p_partkey AS partkey FROM part
+        INTERSECT
+        SELECT DISTINCT l_partkey FROM lineitem)
+      ORDER BY partkey"""))
   )
 }
