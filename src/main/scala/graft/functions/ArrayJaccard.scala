@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -19,7 +19,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * caller owns that invariant (sorting once per document, not per pair).
   */
 case class SortedLongJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_long_jaccard"
@@ -42,6 +42,31 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
+
+  /** Same two-pointer merge, generated into the consuming stage — the
+    * expression participates in whole-stage codegen instead of forcing an
+    * interpreted boundary in the pair-verify pipeline. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |final int $union = $na + $nb - $inter;
+         |${ev.value} = $union == 0 ? 0.0 : ((double) $inter) / $union;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
