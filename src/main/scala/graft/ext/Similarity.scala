@@ -98,6 +98,42 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
   }
 
+  /** IVF cell assignment: nearest centroid by cosine (ties → lowest
+    * centroid id). Centroids here are a deterministic subset of the data
+    * (`centroidPred`) so results are engine-reproducible; production would
+    * train k-means and broadcast the centroid table the same way. The
+    * assignment is a broadcast cross join (N×C scored rows, C small) +
+    * per-vector top-1. */
+  def ivfAssign(prepared: DataFrame, centroidPred: Column): DataFrame = {
+    val cent = prepared.filter(centroidPred)
+      .select(col("id").as("cent_id"), col("qvec").as("cent_vec"), col("n2").as("cent_n2"))
+    val scored = prepared.crossJoin(broadcast(cent))
+      .select(col("id"), col("qvec"), col("n2"), col("cent_id"),
+        cosine(dot(col("qvec"), col("cent_vec")), col("n2"), col("cent_n2")).as("cent_cos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id"), col("qvec"), col("n2"), col("cent_id").as("cluster_id"))
+  }
+
+  /** IVF top-k: queries search only their own cell (nprobe=1) — the
+    * candidate join is an equi-join on cluster_id, O(N·k/C) work instead
+    * of O(N·|Q|). Approximate by construction; recall grows with nprobe. */
+  def ivfTopK(prepared: DataFrame, centroidPred: Column, queryPred: Column,
+              k: Int): DataFrame = {
+    val assigned = ivfAssign(prepared, centroidPred)
+    val q = assigned.filter(queryPred)
+      .select(col("cluster_id"), col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
+    val c = assigned
+      .select(col("cluster_id"), col("id").as("c_id"), col("qvec").as("c_vec"), col("n2").as("c_n2"))
+    val scored = c.join(broadcast(q), Seq("cluster_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(dot(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-dup pairs within LSH buckets. */
   def nearDupPairs(prepared: DataFrame, projs: Seq[Seq[Int]], threshold: Double): DataFrame = {
     val bucketed = prepared.withColumn("bucket", lshBucket(col("qvec"), projs))

@@ -275,6 +275,32 @@ object ExtQueries {
       WHERE list_dot_product(a.qvec, c.qvec) / sqrt(a.n2 * c.n2) >= 0.4
       ORDER BY id_a, id_b""")),
 
+    // ----- similarity: IVF-partitioned ANN top-k -------------------------
+    ("q33_ann_ivf", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      Similarity.ivfTopK(prepared, col("id") % 50 === 0, col("id") % 100 === 0, k = 3)
+        .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some(s"""
+      WITH $prepSql,
+      cent AS (SELECT vec_id AS cent_id, qvec AS cent_vec, n2 AS cent_n2
+        FROM n WHERE vec_id % 50 = 0),
+      scored0 AS (SELECT n.vec_id, n.qvec, n.n2, cent.cent_id,
+        list_dot_product(n.qvec, cent.cent_vec) / sqrt(n.n2 * cent.cent_n2) AS cent_cos
+        FROM n, cent),
+      assigned AS (SELECT vec_id, qvec, n2, cent_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r
+        FROM scored0) WHERE r = 1),
+      q AS (SELECT cluster_id, vec_id AS q_id, qvec AS q_vec, n2 AS q_n2
+        FROM assigned WHERE vec_id % 100 = 0),
+      scored AS (SELECT q.q_id, c.vec_id AS c_id,
+        list_dot_product(q.q_vec, c.qvec) / sqrt(q.q_n2 * c.n2) AS cos_sim
+        FROM assigned c JOIN q ON c.cluster_id = q.cluster_id AND q.q_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+
     // ----- multimodal: binary payload + typed metadata -------------------
     ("q27_multimodal_meta", (s: SparkSession, dir: String) => {
       import s.implicits._

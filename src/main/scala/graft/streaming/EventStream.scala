@@ -43,6 +43,52 @@ object EventStream {
 
   case class UserEvent(user_id: Long, tsec: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+  case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
+  case class OpenSession(startSec: Long, endSec: Long, n: Long)
+
+  /** Session *windows* via flatMapGroupsWithState with an event-time
+    * timeout: a session closes either when a same-batch event arrives
+    * past the gap, or when the watermark passes sessionEnd+gap (the
+    * timeout path) — so closed sessions are emitted exactly once, in
+    * append mode, with bounded per-user state (one open session).
+    */
+  def sessionWindows(events: Dataset[TimedEvent], gapSeconds: Long = 1800,
+                     watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, evs, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.startSec, s.endSec, s.n))
+          } else {
+            val times = evs.map(_.ts.getTime / 1000).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.endSec <= gapSeconds =>
+                  open = Some(s.copy(endSec = math.max(s.endSec, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.startSec, s.endSec, s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endSec + gapSeconds) * 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Stateful sessionization via mapGroupsWithState — the streaming form
     * of q28_sessionize (30-min gap). State per user is two longs + the

@@ -37,6 +37,45 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("session windows close on gap within a batch and on watermark timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[EventStream.TimedEvent]
+    val q = EventStream.sessionWindows(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // non-zero base: an event at exactly epoch 0 is dropped by the strict
+      // event-time > watermark(0) late filter
+      val base = 1700000000L
+      def ts(sec: Long) = new Timestamp((base + sec) * 1000)
+      // batch 1: user 1 has two bursts separated by > gap (closes first
+      // burst in-batch); user 2 one event
+      input.addData(
+        EventStream.TimedEvent(1L, ts(0)), EventStream.TimedEvent(1L, ts(100)),
+        EventStream.TimedEvent(1L, ts(5000)),
+        EventStream.TimedEvent(2L, ts(50)))
+      q.processAllAvailable()
+      // in-batch gap close for user 1's first burst; user 2's session then
+      // times out in the follow-up batch (watermark advanced to 5000-600)
+      val afterB1 = spark.table("sessions")
+        .as[EventStream.ClosedSession].collect().toSet
+      assert(afterB1 == Set(
+        EventStream.ClosedSession(1L, base + 0L, base + 100L, 2L),
+        EventStream.ClosedSession(2L, base + 50L, base + 50L, 1L)))
+      // batch 2: far-future event advances the watermark past every open
+      // session's end+gap → timeouts close them
+      input.addData(EventStream.TimedEvent(3L, ts(100000)))
+      q.processAllAvailable()
+      input.addData(EventStream.TimedEvent(3L, ts(100001)))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[EventStream.ClosedSession].collect().toSet
+      assert(all.contains(EventStream.ClosedSession(1L, base + 5000L, base + 5000L, 1L)))
+      assert(all.contains(EventStream.ClosedSession(2L, base + 50L, base + 50L, 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch q28 session counts") {
     val ev = Tables.t(spark, TestSpark.Sf, "events")
       .select($"user_id", unix_timestamp(date_trunc("second", $"ts")).as("tsec"))
