@@ -98,6 +98,32 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
   }
 
+  /** Multi-probe LSH top-k: each query also probes the buckets at Hamming
+    * distance 1 from its own (flip each sign bit), recovering most
+    * near-neighbors lost to a single boundary-crossing projection — the
+    * standard recall/cost dial: probes × bucket size candidates instead
+    * of N. The query side explodes to (1 + nProj) probe rows and the
+    * candidate join stays a bucket equi-join. */
+  def lshTopKMultiProbe(prepared: DataFrame, queryPred: Column,
+                        projs: Seq[Seq[Int]], k: Int): DataFrame = {
+    val bucketed = prepared.withColumn("bucket", lshBucket(col("qvec"), projs))
+    val probeList = array((lit(0) +: projs.indices.map(j => lit(1 << j))): _*)
+    val q = bucketed.filter(queryPred)
+      .withColumn("__flip", explode(probeList))
+      .select(expr("bucket ^ __flip").as("bucket"),
+        col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
+    val c = bucketed
+      .select(col("bucket"), col("id").as("c_id"), col("qvec").as("c_vec"), col("n2").as("c_n2"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(dot(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")).as("cos_sim"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
+  }
+
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest
     * centroid id). Centroids here are a deterministic subset of the data
     * (`centroidPred`) so results are engine-reproducible; production would

@@ -275,6 +275,26 @@ object ExtQueries {
       WHERE list_dot_product(a.qvec, c.qvec) / sqrt(a.n2 * c.n2) >= 0.4
       ORDER BY id_a, id_b""")),
 
+    // ----- similarity: multi-probe LSH ANN top-k -------------------------
+    ("q34_ann_multiprobe", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      Similarity.lshTopKMultiProbe(prepared, col("id") % 100 === 0, Projs, k = 3)
+        .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some(s"""
+      WITH $prepSql,
+      b AS (SELECT vec_id, qvec, n2, $bucketSql AS bucket FROM n),
+      q0 AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+      q AS (SELECT xor(bucket, flip) AS bucket, vec_id AS q_id, qvec AS q_vec, n2 AS q_n2
+        FROM q0, unnest([0, 1, 2, 4, 8]) AS t(flip)),
+      scored AS (SELECT DISTINCT q.q_id, c.vec_id AS c_id,
+        list_dot_product(q.q_vec, c.qvec) / sqrt(q.q_n2 * c.n2) AS cos_sim
+        FROM b c JOIN q ON c.bucket = q.bucket AND q.q_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+
     // ----- similarity: IVF-partitioned ANN top-k -------------------------
     ("q33_ann_ivf", (s: SparkSession, dir: String) => {
       import s.implicits._

@@ -46,6 +46,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no two-phase aggregate in:\n$plan")
   }
 
+  test("q24 brute-force ANN broadcasts the query side (candidate scan never shuffles)") {
+    val df = SparkEntry.queries("q24_ann_bruteforce")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+  }
+
+  test("q21 minhash candidate join is an equi-join on band key, not a cross join") {
+    val df = SparkEntry.queries("q21_dedup_minhash")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated into a cross join:\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 pipeline (AQE final plan)") {
     val df = SparkEntry.queries("q01_agg")(spark, TestSpark.Sf)
     df.collect() // AQE only materializes the final plan after execution
