@@ -452,6 +452,53 @@ object CoreQueries {
         SELECT p_partkey AS partkey FROM part
         INTERSECT
         SELECT DISTINCT l_partkey FROM lineitem)
-      ORDER BY partkey"""))
+      ORDER BY partkey""")),
+
+    // ----- Grouping sets: full CUBE --------------------------------------
+    ("q35_cube", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .cube($"event_type", date_format($"ts", "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy($"event_type".asc_nulls_first, $"month".asc_nulls_first)
+    }, Some("""
+      SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n_events
+      FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+      ORDER BY event_type ASC NULLS FIRST, month ASC NULLS FIRST""")),
+
+    // ----- Analytic window family: lag/lead/rank/ntile/first/last --------
+    ("q40_window_analytics", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val price = $"o_totalprice".cast(DecimalType(18, 2))
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.t(s, dir, "orders")
+        .filter($"o_custkey" < 100)
+        .select(
+          $"o_custkey", $"o_orderkey",
+          lag(price, 1).over(w).as("prev_price"),
+          lead(price, 1).over(w).as("next_price"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          first(price).over(full).as("first_price"),
+          last(price).over(full).as("last_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price,
+        lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS next_price,
+        rank() OVER w AS rnk,
+        dense_rank() OVER w AS drnk,
+        ntile(4) OVER w AS quartile,
+        first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+        last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
   )
 }
