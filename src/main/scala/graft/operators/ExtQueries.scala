@@ -42,6 +42,35 @@ object ExtQueries {
       SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
   }
 
+  /** Shared DuckDB CTE chain producing `verified(id_a, id_b, jaccard)` —
+    * the MinHash+LSH pipeline (used by q21 and the dedup-apply q41). */
+  private def minhashPairsCte: String = {
+    val p = Dedup.MersennePrime61
+    val mhDefs = (0 until 8).map(s =>
+      s"list_min(list_transform(hs, h -> (h * ${2L * s + 3} + ${s * 12347L + 67}) % $p)) AS m$s")
+      .mkString(",\n        ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS band_key FROM mh")
+      .mkString("\n        UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
+        i -> array_to_string(arr[i:i+2], ' '))) AS sh FROM d),
+      hst AS (SELECT doc_id, list_distinct(list_transform(sh,
+        g -> ('0x' || substr(md5(g), 1, 12))::BIGINT)) AS hs FROM sh),
+      mh AS (SELECT doc_id,
+        $mhDefs
+        FROM hst),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_idx, band_key)
+        WHERE a.doc_id < b.doc_id),
+      verified AS (SELECT id_a, id_b,
+        len(list_intersect(ha.hs, hb.hs)) / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jaccard
+        FROM cand
+        JOIN hst ha ON ha.doc_id = id_a
+        JOIN hst hb ON hb.doc_id = id_b)"""
+  }
+
   private val Projs = Similarity.projectionVectors(4, 64)
 
   /** DuckDB literal for one projection vector. */
@@ -166,35 +195,10 @@ object ExtQueries {
         .select($"doc_id".as("id"), TA.shingles($"text", 3).as("shingles"))
       Dedup.minhashLshPairs(docs, nBands = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
-    }, Some {
-      val p = Dedup.MersennePrime61
-      val mhDefs = (0 until 8).map(s =>
-        s"list_min(list_transform(hs, h -> (h * ${2L * s + 3} + ${s * 12347L + 67}) % $p)) AS m$s")
-        .mkString(",\n        ")
-      val bandSelects = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band_idx, md5(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS band_key FROM mh")
-        .mkString("\n        UNION ALL ")
-      s"""
-      WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
-      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
-        i -> array_to_string(arr[i:i+2], ' '))) AS sh FROM d),
-      hst AS (SELECT doc_id, list_distinct(list_transform(sh,
-        g -> ('0x' || substr(md5(g), 1, 12))::BIGINT)) AS hs FROM sh),
-      mh AS (SELECT doc_id,
-        $mhDefs
-        FROM hst),
-      bands AS ($bandSelects),
-      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b USING (band_idx, band_key)
-        WHERE a.doc_id < b.doc_id),
-      verified AS (SELECT id_a, id_b,
-        len(list_intersect(ha.hs, hb.hs)) / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jaccard
-        FROM cand
-        JOIN hst ha ON ha.doc_id = id_a
-        JOIN hst hb ON hb.doc_id = id_b)
+    }, Some(s"""
+      $minhashPairsCte
       SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
-      ORDER BY id_a, id_b"""
-    }),
+      ORDER BY id_a, id_b""")),
 
     // ----- dedup: 32-bit SimHash -----------------------------------------
     ("q22_dedup_simhash", (s: SparkSession, dir: String) => {
@@ -345,6 +349,60 @@ object ExtQueries {
         32 + ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 64 AS fake_w,
         32 + ((instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 64 AS fake_h
       FROM d ORDER BY doc_id""")),
+
+    // ----- dedup: apply — materialize the deduplicated corpus ------------
+    ("q41_dedup_apply", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+      val shingled = docs.select($"doc_id".as("id"), TA.shingles($"text", 3).as("shingles"))
+      // drop the higher-id member of every near-dup pair, keep the rest
+      val dropIds = Dedup.minhashLshPairs(shingled, nBands = 4, threshold = 0.5)
+        .select($"id_b".as("doc_id")).distinct()
+      docs.join(dropIds, Seq("doc_id"), "left_anti")
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id")
+    }, Some(s"""
+      $minhashPairsCte
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT id_b FROM verified WHERE jaccard >= 0.5)
+      ORDER BY doc_id""")),
+
+    // ----- sampling: deterministic per-stratum hash sampling -------------
+    ("q42_stratified_sample", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // hash-gate in [0, 65536): en keeps ~10%, other languages ~50% —
+      // reproducible across engines/runs/partitionings (no RNG)
+      val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .filter(gate < when($"lang" === "en", 6554L).otherwise(32768L))
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < CASE WHEN lang = 'en' THEN 6554 ELSE 32768 END
+      ORDER BY doc_id""")),
+
+    // ----- token statistics: per-language distribution -------------------
+    ("q43_token_stats", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"lang", TA.wsTokenCount($"text").as("ws_tokens"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"ws_tokens").cast("long").as("min_tokens"),
+          max($"ws_tokens").cast("long").as("max_tokens"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ws_tokens) AS BIGINT)").as("p50_tokens"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY ws_tokens) AS BIGINT)").as("p90_tokens"))
+        .orderBy("lang")
+    }, Some("""
+      WITH t AS (SELECT lang, len(string_split_regex(trim(text), '\s+')) AS ws_tokens FROM documents)
+      SELECT lang, count(*) AS n_docs,
+        CAST(min(ws_tokens) AS BIGINT) AS min_tokens,
+        CAST(max(ws_tokens) AS BIGINT) AS max_tokens,
+        CAST(quantile_disc(ws_tokens, 0.5) AS BIGINT) AS p50_tokens,
+        CAST(quantile_disc(ws_tokens, 0.9) AS BIGINT) AS p90_tokens
+      FROM t GROUP BY lang ORDER BY lang""")),
 
     // ----- events: gap-based sessionization ------------------------------
     ("q28_sessionize", (s: SparkSession, dir: String) => {
