@@ -404,6 +404,62 @@ object ExtQueries {
         CAST(quantile_disc(ws_tokens, 0.9) AS BIGINT) AS p90_tokens
       FROM t GROUP BY lang ORDER BY lang""")),
 
+    // ----- near-dup: edit distance within blocks -------------------------
+    ("q44_edit_distance", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // same blocking discipline as the other pair operators; levenshtein
+      // is exact integer — engine-identical by definition
+      val d = Tables.spread(Tables.t(s, dir, "documents"))
+        .filter($"n_chars" < 120)
+        .select($"doc_id", concat($"lang", lit("_"), expr("n_chars div 40")).as("bucket"), $"text")
+      val l = d.select($"bucket", $"doc_id".as("id_a"), $"text".as("t_a"))
+      val r = d.select($"bucket", $"doc_id".as("id_b"), $"text".as("t_b"))
+      l.join(r, Seq("bucket"))
+        .filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", levenshtein($"t_a", $"t_b").as("edit_dist"))
+        .filter($"edit_dist" <= 45)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH d AS (SELECT doc_id, lang || '_' || (n_chars // 40) AS bucket, text
+        FROM documents WHERE n_chars < 120)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        levenshtein(a.text, b.text) AS edit_dist
+      FROM d a JOIN d b USING (bucket)
+      WHERE a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 45
+      ORDER BY id_a, id_b""")),
+
+    // ----- as-of join: each event ↔ the user's latest prior order --------
+    ("q45_asof_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // Composed from built-ins (SURVEY §7.3 preference (a)): range-join
+      // on (key, time ≤ t) then keep the latest match per event. At scale
+      // the join is an equi-join on the key with AQE handling size; the
+      // per-event top-1 is a windowed rank over the matches.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.t(s, dir, "events")
+        .filter($"event_id" < 2000)
+        .select($"event_id", $"user_id", date_trunc("second", $"ts").as("tsec"))
+      val orders = Tables.t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      val w = Window.partitionBy($"event_id").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      ev.join(orders, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"tsec", "left")
+        .withColumn("__r", row_number().over(w))
+        .filter($"__r" === 1)
+        .select($"event_id", $"user_id", $"o_orderkey".as("latest_orderkey"),
+          $"o_orderdate".as("latest_orderdate"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH ev AS (SELECT event_id, user_id, date_trunc('second', ts) AS tsec
+        FROM events WHERE event_id < 2000),
+      m AS (SELECT ev.event_id, ev.user_id, o.o_orderkey, o.o_orderdate,
+        row_number() OVER (PARTITION BY ev.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS r
+        FROM ev LEFT JOIN orders o
+          ON ev.user_id = o.o_custkey AND o.o_orderdate <= ev.tsec)
+      SELECT event_id, user_id, o_orderkey AS latest_orderkey,
+             o_orderdate AS latest_orderdate
+      FROM m WHERE r = 1 ORDER BY event_id""")),
+
     // ----- events: gap-based sessionization ------------------------------
     ("q28_sessionize", (s: SparkSession, dir: String) => {
       import s.implicits._
