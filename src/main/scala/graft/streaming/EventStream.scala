@@ -41,6 +41,27 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
 
+  /** Stream-stream interval self-join: purchases attributed to the same
+    * user's clicks within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so the engine
+    * keeps only one hour of per-side state — the bounded-state shape
+    * stream-stream joins require at scale. */
+  def clickToPurchase(events: DataFrame, attributionWindow: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", attributionWindow)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", attributionWindow)
+    purchases.join(clicks,
+      expr(s"""p_user = c_user AND click_ts <= purchase_ts
+              AND click_ts >= purchase_ts - INTERVAL $attributionWindow"""))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   case class UserEvent(user_id: Long, tsec: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)

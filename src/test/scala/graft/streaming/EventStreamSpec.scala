@@ -37,6 +37,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream interval join matches the equivalent batch join") {
+    val stream = EventStream.streamFromParquetDir(spark, eventsDir)
+    val q = EventStream.clickToPurchase(stream)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attrib")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+
+    val ev = Tables.t(spark, TestSpark.Sf, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"event_id".as("click_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"), $"event_id".as("purchase_id"))
+    val batch = purchases.join(clicks,
+        expr("p_user = c_user AND click_ts <= purchase_ts AND click_ts >= purchase_ts - INTERVAL 1 HOUR"))
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("session windows close on gap within a batch and on watermark timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
