@@ -34,7 +34,12 @@ for name, sql in sorted(oracle.items()):
     files = glob.glob(f"{spark_dir}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark parquet"); failures += 1; continue
-    sdf = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'").fetchdf()
+    # read the Spark side with pyarrow (NOT duckdb): the driver's gate uses
+    # asymmetric readers, and pyarrow preserves decimal scale ("1.00") where
+    # duckdb->pandas yields float64 ("1.0") — reading both sides through
+    # duckdb would mask exactly the representation drift we must catch
+    import pandas as pd
+    sdf = pd.read_parquet(spark_dir)
     ocols, scols = sorted(odf.columns), sorted(sdf.columns)
     if ocols != scols:
         print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")

@@ -50,15 +50,46 @@ final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig) extends Mig
           r.get(7).toString.toInt)
       }.toSeq
 
-  /** S1 (root.go:389-516): PK-partitioned page read. */
+  /** MySQL types a range-predicate page split is sound for. */
+  private val NumericPkTypes =
+    Set("tinyint", "smallint", "mediumint", "int", "integer", "bigint")
+
+  /** S1 (root.go:389-516): PK-partitioned page read. Range predicates
+    * need the PK's REAL bounds (a MIN/MAX probe, not the row count —
+    * auto-increment keys start at 1, sparse keys leave gaps) and a
+    * verified numeric PK type; everything else takes the reference's
+    * deferred-join page SQLs (prepareSqlStr, root.go:335-386). */
   override def tableData(table: String): DataFrame = {
     val pk = primaryKeyCols(table)
-    val stats = spark.read.jdbc(conn.url,
-      s"(select count(*) c from `$table`) t", conn.props).collect().head
-    val rows = stats.get(0).toString.toLong
-    Jdbc.readTable(spark, conn, table, pk, pkIsNumeric = pk.size == 1,
-      rowCount = rows, pkMin = 0, pkMax = math.max(0, rows - 1), pageSize = cfg.pageSize)
+    val pkNumeric = pk.size == 1 && columns(table).exists(c =>
+      c.columnName.equalsIgnoreCase(pk.head) && NumericPkTypes(c.dataType))
+    if (pkNumeric) {
+      val k = pk.head
+      val stats = spark.read.jdbc(conn.url,
+        s"(select count(*) c, min(`$k`) mn, max(`$k`) mx from `$table`) t",
+        conn.props).collect().head
+      val rows = Option(stats.get(0)).fold(0L)(_.toString.toLong)
+      val mn = Option(stats.get(1)).fold(0L)(_.toString.toLong)
+      val mx = Option(stats.get(2)).fold(0L)(_.toString.toLong)
+      Jdbc.readTable(spark, conn, table, pk, pkIsNumeric = true,
+        rowCount = rows, pkMin = mn, pkMax = mx, pageSize = cfg.pageSize)
+    } else {
+      val stats = spark.read.jdbc(conn.url,
+        s"(select count(*) c from `$table`) t", conn.props).collect().head
+      val rows = stats.get(0).toString.toLong
+      Jdbc.readTable(spark, conn, table, pk, pkIsNumeric = false,
+        rowCount = rows, pkMin = 0, pkMax = 0, pageSize = cfg.pageSize)
+    }
   }
+
+  /** Custom-SQL extraction (root.go:97-98, 305-309): each configured SQL
+    * runs as its own dbtable subquery — its own JDBC partition unit —
+    * and the slices union into the table's DataFrame. */
+  override def tableData(table: String, customSqls: Seq[String]): DataFrame =
+    if (customSqls.isEmpty) tableData(table)
+    else customSqls.map(sql =>
+      spark.read.jdbc(conn.url, s"($sql) slice", conn.props))
+      .reduce(_ unionByName _)
 
   /** S4 (root.go:341-359): ordered PK column list. */
   def primaryKeyCols(table: String): Seq[String] =
@@ -126,8 +157,8 @@ final class JdbcSink(spark: SparkSession, cfg: GraftConfig) extends Migration.Mi
   }
 
   override def writeTable(table: String, df: DataFrame): Try[Long] = Try {
-    executeDdl(s"""truncate table "$table"""") // idempotence vs task retries (root.go:297)
-    Jdbc.writeTable(df, conn, table)
+    // truncate-then-load for idempotence vs task retries (root.go:297)
+    Jdbc.writeTable(df, conn, table, truncate = true)
     df.count()
   }
 

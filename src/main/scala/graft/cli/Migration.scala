@@ -31,6 +31,11 @@ object Migration {
     def tableNames: Seq[String]
     def columns(table: String): Seq[ColumnMeta]
     def tableData(table: String): DataFrame
+    /** Custom-SQL extraction for tables configured under `tables:`
+      * (root.go:97-98): each SQL is one extraction unit. Default ignores
+      * the SQLs (fixture sources); JDBC sources run them. */
+    def tableData(table: String, customSqls: Seq[String]): DataFrame =
+      tableData(table)
     def statistics: DataFrame       // S7 shape: table/index/non_unique/seq/col/type
     def foreignKeys: (DataFrame, DataFrame) // S8: (key_column_usage, referential_constraints)
     def autoIncrements: DataFrame   // S6 shape: table_name/column_name/auto_increment
@@ -90,7 +95,8 @@ object Migration {
       var failed = 0L
       workList.foreach { t =>
         val df = ValueTransforms.scrubNulAll(
-          ValueTransforms.lowercaseColumns(source.tableData(t)))
+          ValueTransforms.lowercaseColumns(
+            source.tableData(t, cfg.tables.getOrElse(t, Nil))))
         if (sink.writeTable(t.toLowerCase, df).isFailure) failed += 1
       }
       (workList.size.toLong, failed)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * generation is an equi-join on that key — never an all-pairs cross
   * join. Candidate pairs travel as narrow (id, id) rows; heavy shingle
   * arrays are joined back only for the final verify. Hashing is done
-  * once per shingle (md5 → 48-bit int), then seeds are applied with
+  * once per shingle (md5 → 32-bit int), then seeds are applied with
   * exact integer mixing (a·h+b mod p) — O(shingles) digests instead of
   * O(shingles·seeds).
   */
@@ -22,19 +22,47 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** 48-bit integer hash per shingle (first 12 hex digits of md5) —
-    * the one digest each shingle ever pays. */
+  /** 32-bit integer hash per shingle (first 8 hex digits of md5) —
+    * the one digest each shingle ever pays. The 32-bit domain (not 48)
+    * lets the per-seed mix below wrap mod p inside exact signed-64
+    * arithmetic on every engine. */
   def shingleHashes(shingleSet: Column): Column =
     array_distinct(transform(shingleSet,
-      g => conv(substring(md5(g), 1, 12), 16, 10).cast("long")))
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")))
 
-  val MersennePrime61 = 2305843009213693951L // 2^61-1
+  /** Smallest prime above 2^32: the minhash permutation modulus. */
+  val HashPrime = 4294967311L
 
-  /** Permutation min-hash via integer mixing: min over (a_s·h + b_s) mod p.
-    * h < 2^48 and a_s ≤ 25 keep products < 2^53 — exact in any engine. */
-  def minhashInt(hs: Column, seed: Int): Column =
-    array_min(transform(hs,
-      h => (h * lit(2L * seed + 3) + lit(seed * 12347L + 67)) % lit(MersennePrime61)))
+  /** splitmix64 finalizer — derives per-seed permutation constants. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-seed permutation constants (a, b): a ∈ [1, 2^30] keeps
+    * a·h + b < 2^62 + 2^33 (exact in signed 64-bit, no overflow on any
+    * engine) while spanning ~2^30 wraps of p — a genuine independent
+    * permutation per seed, not an order-preserving map. */
+  def permConsts(seed: Int): (Long, Long) = {
+    val a = Math.floorMod(mix(2L * seed + 1), 1L << 30) + 1
+    val b = Math.floorMod(mix(2L * seed + 2), HashPrime)
+    (a, b)
+  }
+
+  /** Permutation min-hash: min over (a_s·h + b_s) mod p. */
+  def minhashInt(hs: Column, seed: Int): Column = {
+    val (a, b) = permConsts(seed)
+    array_min(transform(hs, h => (h * lit(a) + lit(b)) % lit(HashPrime)))
+  }
+
+  /** The same permutation rendered as DuckDB SQL over a list column
+    * `hs` — oracle side of the shared template. */
+  def minhashSql(seed: Int): String = {
+    val (a, b) = permConsts(seed)
+    s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashPrime))"
+  }
 
   /** LSH band key: hash of adjacent minhashes (decimal string form). */
   def bandKey(mh: Seq[Column]): Column =

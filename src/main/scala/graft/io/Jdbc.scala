@@ -59,14 +59,22 @@ object Jdbc {
     * rewriteBatchedStatements — the idiomatic path. Mode B (COPY fidelity,
     * cmd/root.go:412): foreachPartition + PG COPY protocol would go here;
     * the pgjdbc CopyManager class is not on this classpath, so mode B is
-    * the documented extension point rather than dead code. */
+    * the documented extension point rather than dead code.
+    *
+    * `truncate = true` empties the target first (the reference's
+    * pre-migration truncate, root.go:297) via Overwrite + the JDBC
+    * truncate option, which issues TRUNCATE instead of DROP/CREATE so
+    * target DDL survives; `false` appends. */
   def writeTable(df: DataFrame, conn: ConnInfo, table: String,
                  batchSize: Int = 10000, truncate: Boolean = true): Unit = {
+    val props = conn.props
+    props.setProperty("rewriteBatchedStatements", "true")
     df.write
-      .mode(SaveMode.Append)
+      .mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+      .option("truncate", truncate)
       .option("batchsize", batchSize)
       .option("isolationLevel", "READ_COMMITTED")
-      .jdbc(conn.url, table, conn.props)
+      .jdbc(conn.url, table, props)
   }
 
   /** DDL side-channel (cmd/tablemeta.go K2): target-side DDL has no

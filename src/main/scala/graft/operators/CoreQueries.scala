@@ -23,9 +23,14 @@ import graft.types.TypeMapper
 object CoreQueries {
 
   /** Order-insensitive exact sum: per-row cast to decimal(18,s) (exact for
-    * the 2-decimal money domain), decimal accumulation, fixed output type. */
+    * the 2-decimal money domain), decimal accumulation — then DOUBLE out.
+    * The final double cast is deliberate: the sum itself is exact decimal
+    * (no summation-order divergence), and a double survives every
+    * parquet/pandas/DuckDB reader identically, whereas decimal columns
+    * render with trailing zeros in some readers ("253942.00") and as
+    * floats in others ("253942.0") and hash-mismatch downstream. */
   private def dsum(c: Column, scale: Int): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale)).cast("double")
 
   /** Money columns as exact decimals. All arithmetic on these stays in
     * decimal (never double): double→decimal cast rounding differs between
@@ -48,16 +53,16 @@ object CoreQueries {
         .agg(
           dsum($"l_quantity", 2).as("sum_qty"),
           dsum($"l_extendedprice", 2).as("sum_base_price"),
-          sum(money($"l_extendedprice") * rate1m($"l_discount")).cast(DecimalType(38, 4)).as("sum_disc_price"),
-          sum(money($"l_extendedprice") * rate1m($"l_discount") * rate1p($"l_tax")).cast(DecimalType(38, 6)).as("sum_charge"),
+          sum(money($"l_extendedprice") * rate1m($"l_discount")).cast(DecimalType(38, 4)).cast("double").as("sum_disc_price"),
+          sum(money($"l_extendedprice") * rate1m($"l_discount") * rate1p($"l_tax")).cast(DecimalType(38, 6)).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }, Some("""
       SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")),
@@ -281,7 +286,7 @@ object CoreQueries {
         .orderBy("r_name", "n_name")
     }, Some("""
       SELECT r_name, n_name,
-        CAST(sum(CAST((l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        CAST(CAST(sum(CAST((l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         count(*) AS n_items
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -345,19 +350,20 @@ object CoreQueries {
         .withColumn("cum_spend",
           sum($"o_totalprice".cast(DecimalType(18, 2)))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(38, 2)))
+            .cast(DecimalType(38, 2)).cast("double"))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"rn", $"o_orderkey",
-          $"o_totalprice".cast(DecimalType(18, 2)).as("total_price"), $"cum_spend")
+          $"o_totalprice".cast(DecimalType(18, 2)).cast("double").as("total_price"), $"cum_spend")
         .orderBy("o_custkey", "rn")
     }, Some("""
-      SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, cum_spend
+      SELECT o_custkey, rn, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price, cum_spend
       FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
-          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
             PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS cum_spend
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS cum_spend
         FROM orders)
       WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
@@ -372,7 +378,7 @@ object CoreQueries {
     }, Some("""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         count(*) AS n_events,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
 
     // ----- Semi-structured: JSON extraction from event props -------------
@@ -397,7 +403,7 @@ object CoreQueries {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }, Some("""
       SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
@@ -469,7 +475,7 @@ object CoreQueries {
     // ----- Analytic window family: lag/lead/rank/ntile/first/last --------
     ("q40_window_analytics", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val price = $"o_totalprice".cast(DecimalType(18, 2))
+      val price = $"o_totalprice".cast(DecimalType(18, 2)).cast("double")
       val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.t(s, dir, "orders")
@@ -486,15 +492,15 @@ object CoreQueries {
         .orderBy("o_custkey", "o_orderkey")
     }, Some("""
       SELECT o_custkey, o_orderkey,
-        lag(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS prev_price,
-        lead(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS next_price,
+        lag(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w AS prev_price,
+        lead(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 1) OVER w AS next_price,
         rank() OVER w AS rnk,
         dense_rank() OVER w AS drnk,
         ntile(4) OVER w AS quartile,
-        first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        first_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) OVER
           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
-        last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        last_value(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) OVER
           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
       FROM orders WHERE o_custkey < 100

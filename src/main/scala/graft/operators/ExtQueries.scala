@@ -45,9 +45,7 @@ object ExtQueries {
   /** Shared DuckDB CTE chain producing `verified(id_a, id_b, jaccard)` —
     * the MinHash+LSH pipeline (used by q21 and the dedup-apply q41). */
   private def minhashPairsCte: String = {
-    val p = Dedup.MersennePrime61
-    val mhDefs = (0 until 8).map(s =>
-      s"list_min(list_transform(hs, h -> (h * ${2L * s + 3} + ${s * 12347L + 67}) % $p)) AS m$s")
+    val mhDefs = (0 until 8).map(s => s"${Dedup.minhashSql(s)} AS m$s")
       .mkString(",\n        ")
     val bandSelects = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band_idx, md5(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS band_key FROM mh")
@@ -56,7 +54,7 @@ object ExtQueries {
       sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
         i -> array_to_string(arr[i:i+2], ' '))) AS sh FROM d),
       hst AS (SELECT doc_id, list_distinct(list_transform(sh,
-        g -> ('0x' || substr(md5(g), 1, 12))::BIGINT)) AS hs FROM sh),
+        g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs FROM sh),
       mh AS (SELECT doc_id,
         $mhDefs
         FROM hst),
