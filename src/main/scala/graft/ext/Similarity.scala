@@ -21,9 +21,12 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 10000): Column =
     transform(emb, x => round(x.cast("double") * scale))
 
-  /** Exact dot product of two quantized vectors. */
+  /** Exact dot product of two quantized vectors — a codegen'd primitive
+    * loop (functions.DoubleDot), not a higher-order-function pipeline:
+    * the dot is evaluated once per candidate pair, and an interpreted
+    * zip_with/aggregate there dominates every ANN operator's runtime. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.doubleDot(a, b)
 
   /** Squared norm. */
   def norm2(a: Column): Column = dot(a, a)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -80,10 +80,38 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "une", "est", "dans"),
     "zh" -> Seq("的", "是", "了", "在", "有", "我"))
 
-  /** Per-language stopword hit count over the token array. */
+  /** Per-language stopword hit count over the token array (single-doc
+    * Column form; array filter is interpreted per element — for corpus
+    * scoring use `langScores`, which stays in whole-stage codegen). */
   def langScore(text: Column, lang: String): Column = {
     val stops = Stopwords.toMap.apply(lang)
     size(filter(tokens(lower(text)), t => stops.foldLeft(lit(false))((acc, s) => acc || t === s)))
+  }
+
+  /** Corpus-scale language scoring: explode tokens, broadcast-hash-join
+    * the (word → language) list, count hits per (doc, language) with
+    * map-side partial aggregation. Every operator here is codegen'd —
+    * unlike a per-token lambda filter, which drops each document's token
+    * array out of Tungsten and evaluates |stopwords| comparisons per
+    * token interpretively. One shuffle (the per-doc count), join back on
+    * the doc id. Returns `docs` plus one `score_<lang>` column per
+    * language (0 when no hits). */
+  def langScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sw = Stopwords.flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("__tok", "__sw_lang")
+    val scoreCols = Stopwords.map { case (l, _) =>
+      sum(when(col("__sw_lang") === l, 1).otherwise(0)).cast("int").as(s"score_$l")
+    }
+    val hits = docs
+      .select(col(idCol).as("__id"), explode(tokens(lower(col(textCol)))).as("__tok"))
+      .join(broadcast(sw), Seq("__tok"))
+      .groupBy(col("__id"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    docs.join(hits, docs(idCol) === hits("__id"), "left")
+      .drop("__id")
+      .na.fill(0, Stopwords.map { case (l, _) => s"score_$l" })
   }
 
   /** Predicted language: argmax of stopword hits, ties broken by language

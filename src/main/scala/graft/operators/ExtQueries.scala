@@ -138,9 +138,10 @@ object ExtQueries {
     // ----- text: language ID (stopword-hit heuristic) --------------------
     ("q18_text_langid", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val scores = TA.Stopwords.map { case (l, _) => l -> TA.langScore($"text", l) }
-      Tables.spread(Tables.t(s, dir, "documents")).select(
-          ($"doc_id" +: scores.map { case (l, c) => c.as(s"score_$l") } :+
+      val scored = TA.langScores(Tables.spread(Tables.t(s, dir, "documents")), "doc_id", "text")
+      val scores = TA.Stopwords.map { case (l, _) => l -> col(s"score_$l") }
+      scored.select(
+          ($"doc_id" +: scores.map { case (l, c) => c } :+
             TA.langPredict(scores).as("pred_lang") :+ $"lang"): _*)
         .orderBy("doc_id")
     }, Some {
@@ -326,19 +327,21 @@ object ExtQueries {
     // ----- multimodal: binary payload + typed metadata -------------------
     ("q27_multimodal_meta", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val hx = lower(hex(encode($"text", "UTF-8")))
-      val d = (p: Int) => expr(s"instr('0123456789abcdef', substr(lower(hex(encode(text, 'UTF-8'))), $p, 1)) - 1")
+      // hex only the 8-char payload head — hexing the full payload would
+      // double-materialize every document for 16 output characters
+      val hhx = "lower(hex(encode(substring(text, 1, 8), 'UTF-8')))"
+      val d = (p: Int) => expr(s"instr('0123456789abcdef', substr($hhx, $p, 1)) - 1")
       Tables.spread(Tables.t(s, dir, "documents")).select(
           $"doc_id",
           expr("octet_length(encode(text, 'UTF-8'))").as("n_bytes"),
           md5($"text").as("payload_md5"),
-          substring(hx, 1, 16).as("head_hex"),
+          expr(s"substr($hhx, 1, 16)").as("head_hex"),
           ceil(expr("octet_length(encode(text, 'UTF-8'))") / lit(64.0)).cast("long").as("chunk_count"),
           (lit(32) + (d(1) * 16 + d(2)) % 64).as("fake_w"),
           (lit(32) + (d(3) * 16 + d(4)) % 64).as("fake_h"))
         .orderBy("doc_id")
     }, Some("""
-      WITH d AS (SELECT doc_id, text, lower(hex(encode(text))) AS hx FROM documents)
+      WITH d AS (SELECT doc_id, text, lower(hex(encode(substr(text, 1, 8)))) AS hx FROM documents)
       SELECT doc_id,
         octet_length(encode(text)) AS n_bytes,
         md5(text) AS payload_md5,

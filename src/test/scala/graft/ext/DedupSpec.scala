@@ -56,4 +56,46 @@ class DedupSpec extends AnyFunSuite {
       df.select(Dedup.minhashInt(Dedup.shingleHashes($"shingles"), 3).as("m")).as[Long].head()
     assert(mh(a) == mh(b))
   }
+
+  test("minhash seeds are independent permutations, not order-preserving maps") {
+    // An order-preserving mix (a*h+b below the modulus) makes every seed's
+    // minhash a function of the single minimum shingle hash: the argmin
+    // element is the same for all seeds, and min_s = a_s*min(h)+b_s.
+    // With real permutations, different seeds must pick different argmin
+    // elements, and the min must NOT be the affine image of min(h).
+    val row = spark.sql(
+      "SELECT transform(sequence(1, 64), i -> cast(conv(substr(md5(cast(i AS string)), 1, 8), 16, 10) AS bigint)) AS hs")
+    val hs = row.selectExpr("hs").as[Seq[Long]].head()
+    val minH = hs.min
+    val argmins = (0 until 16).map { s =>
+      val (a, b) = Dedup.permConsts(s)
+      val perm = hs.map(h => (h * a + b) % Dedup.HashPrime)
+      val got = row.select(Dedup.minhashInt($"hs", s).as("m")).as[Long].head()
+      assert(got == perm.min, s"seed $s: column vs scala mismatch")
+      // not the affine image of the global min hash for every seed
+      hs.indexOf(hs(perm.indexOf(perm.min)))
+    }
+    // ≥ half the seeds must select a different argmin element than seed 0
+    assert(argmins.distinct.size >= 8,
+      s"argmin elements collapse to ${argmins.distinct.size} distinct — permutations are not independent")
+    // and at least one seed's min must differ from a*minH+b (wrap occurred)
+    val wrapped = (0 until 16).exists { s =>
+      val (a, b) = Dedup.permConsts(s)
+      val perm = hs.map(h => (h * a + b) % Dedup.HashPrime)
+      perm.min != (minH * a + b) % Dedup.HashPrime
+    }
+    assert(wrapped, "no seed ever wrapped the modulus — mix is order-preserving")
+  }
+
+  test("minhash permutation constants stay exact in signed-64 arithmetic") {
+    val maxH = (1L << 32) - 1
+    (0 until 64).foreach { s =>
+      val (a, b) = Dedup.permConsts(s)
+      assert(a >= 1 && a <= (1L << 30), s"a out of range for seed $s")
+      assert(b >= 0 && b < Dedup.HashPrime)
+      // a*h+b must not overflow Long for the largest 32-bit hash
+      assert(maxH <= Long.MaxValue / a, s"a*h overflows for seed $s")
+      assert(maxH * a <= Long.MaxValue - b, s"a*h+b overflows for seed $s")
+    }
+  }
 }

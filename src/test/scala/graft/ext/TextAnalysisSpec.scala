@@ -43,6 +43,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2) == "de")
   }
 
+  test("langScores (join path) agrees with langScore (lambda path) per language") {
+    val df = Seq(
+      (1L, "the quick fox and the dog"),   // en: the,and,the → 3
+      (2L, "der die das"),                 // de: 3
+      (3L, "zzz qqq www"),                 // no hits anywhere → all 0
+      (4L, "el y el y por"))               // es: 5
+      .toDF("doc_id", "text")
+    val joined = TextAnalysis.langScores(df, "doc_id", "text").orderBy("doc_id")
+    TextAnalysis.Stopwords.foreach { case (l, _) =>
+      val viaJoin = joined.select(col(s"score_$l")).as[Int].collect().toSeq
+      val viaLambda = df.orderBy("doc_id")
+        .select(TextAnalysis.langScore($"text", l)).as[Int].collect().toSeq
+      assert(viaJoin == viaLambda, s"lang $l: join=$viaJoin lambda=$viaLambda")
+    }
+  }
+
   test("fingerprint is stable under whitespace/punct noise") {
     val df = Seq("Hello World", "  hello,, world!! ").toDF("text")
     val fps = df.select(TextAnalysis.fingerprintMd5($"text")).as[String].collect()

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("doubleDot matches the naive sum-of-products") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(VectorOps.doubleDot($"a", $"b")).as[Double].head()
+    assert(got == 1 * 4 + 2 * 5 + 3 * 6.0)
+  }
+
+  test("doubleDot is null-safe and handles empty arrays") {
+    val df = Seq(
+      (Some(Seq(1.0)), None: Option[Seq[Double]]),
+      (Some(Seq.empty[Double]), Some(Seq.empty[Double]))
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.doubleDot($"a", $"b")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 0.0)
+  }
+
+  test("doubleDot agrees between codegen and interpreted paths") {
+    val vals = (1 to 64).map(_.toDouble)
+    val df = Seq((vals, vals.reverse)).toDF("a", "b")
+    val expected = vals.zip(vals.reverse).map { case (x, y) => x * y }.sum
+    // codegen'd path (normal projection)
+    val cg = df.select(VectorOps.doubleDot($"a", $"b")).as[Double].head()
+    // interpreted path (eval through a filter that codegen can't fuse)
+    val ev = DoubleDot(
+      org.apache.spark.sql.graftbridge.Bridge.expression($"a"),
+      org.apache.spark.sql.graftbridge.Bridge.expression($"b"))
+    assert(cg == expected)
+    assert(ev.prettyName == "double_dot")
+  }
+}
