@@ -505,6 +505,26 @@ object CoreQueries {
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price
       FROM orders WHERE o_custkey < 100
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ----- Grouping sets: explicit set list + grouping_id ----------------
+    ("q46_grouping_sets", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice", 2).as("total_spend"))
+        .orderBy($"gid", $"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        count(*) AS n_orders,
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_spend
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""))
   )
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.TestSpark
+import StatefulOps.{KeyedEvent, UserStats}
+
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // transformWithState requires the RocksDB state store provider
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState dedup keeps the first replica across batches") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[KeyedEvent]
+      val q = StatefulOps.dedupStream(in.toDS())
+        .writeStream.format("memory").queryName("tws_dedup")
+        .outputMode("append").start()
+      try {
+        in.addData(
+          KeyedEvent("a", 1L, 10L, 1.0),
+          KeyedEvent("a", 2L, 10L, 2.0), // same-batch replica
+          KeyedEvent("b", 3L, 11L, 3.0))
+        q.processAllAvailable()
+        in.addData(
+          KeyedEvent("a", 4L, 10L, 4.0), // cross-batch replica
+          KeyedEvent("c", 5L, 12L, 5.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_dedup").as[KeyedEvent].collect()
+        .map(e => e.dedup_key -> e.event_id).sortBy(_._1)
+      assert(got.toSeq == Seq("a" -> 1L, "b" -> 3L, "c" -> 5L))
+    }
+  }
+
+  test("transformWithState running stats accumulate across batches") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[KeyedEvent]
+      val q = StatefulOps.runningUserStats(in.toDS())
+        .writeStream.format("memory").queryName("tws_stats")
+        .outputMode("update").start()
+      try {
+        in.addData(KeyedEvent("a", 1L, 10L, 1.5), KeyedEvent("b", 2L, 10L, 2.5))
+        q.processAllAvailable()
+        in.addData(KeyedEvent("c", 3L, 10L, 1.0), KeyedEvent("d", 4L, 20L, 7.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // last update per user wins
+      val got = spark.table("tws_stats").as[UserStats].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.n_events)
+        }
+      assert(got(10L) == UserStats(10L, 3L, 5.0))
+      assert(got(20L) == UserStats(20L, 1L, 7.0))
+    }
+  }
+}
