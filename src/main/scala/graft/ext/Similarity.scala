@@ -163,6 +163,71 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
   }
 
+  /** Deterministic Lloyd k-means over the quantized vectors: centroids
+    * initialize from the rows matching `initPred` (the standard seed-
+    * by-sample), then `iters` rounds of assign (max cosine, ties to the
+    * lowest centroid id) + per-dimension mean. The mean is ROUNDED to an
+    * integer-valued double, so centroid arithmetic — like all vector
+    * arithmetic here — stays exact in IEEE double and the training is
+    * bit-reproducible on any engine/partitioning.
+    *
+    * Scale shape (the distributed-k-means standard): centroids broadcast
+    * (k rows) so assignment is a map-side scored scan + per-row top-1;
+    * the recompute shuffles N·dim (cluster, pos, v) rows into k·dim
+    * partial means with map-side combine. Returns (cent_id, cent_vec,
+    * cent_n2). */
+  def kmeansCentroids(prepared: DataFrame, initPred: Column, iters: Int): DataFrame = {
+    var cents = prepared.filter(initPred)
+      .select(col("id").as("cent_id"), col("qvec").as("cent_vec"), col("n2").as("cent_n2"))
+    (1 to iters).foreach { _ =>
+      val scored = prepared.crossJoin(broadcast(cents))
+        .select(col("id"), col("qvec"), col("cent_id"),
+          cosine(dot(col("qvec"), col("cent_vec")), col("n2"), col("cent_n2")).as("cent_cos"))
+      val w = Window.partitionBy(col("id")).orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+        .select(col("id"), col("qvec"), col("cent_id").as("cluster_id"))
+      val perDim = assigned
+        .select(col("cluster_id"), posexplode(col("qvec")).as(Seq("pos", "v")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(round(sum(col("v")) / count(lit(1))).as("m"))
+      val rebuilt = perDim.groupBy(col("cluster_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cent_vec"))
+      cents = rebuilt.select(col("cluster_id").as("cent_id"), col("cent_vec"),
+        graft.functions.VectorOps.doubleDot(col("cent_vec"), col("cent_vec")).as("cent_n2"))
+    }
+    cents
+  }
+
+  /** IVF assignment against an explicit centroid table (trained or
+    * sampled): nearest centroid by cosine, ties to lowest id. */
+  def ivfAssignWith(prepared: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = prepared.crossJoin(broadcast(cents))
+      .select(col("id"), col("qvec"), col("n2"), col("cent_id"),
+        cosine(dot(col("qvec"), col("cent_vec")), col("n2"), col("cent_n2")).as("cent_cos"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("id"), col("qvec"), col("n2"), col("cent_id").as("cluster_id"))
+  }
+
+  /** k-means-trained IVF top-k: train centroids with `iters` Lloyd
+    * rounds, then nprobe=1 search within the assigned cell. */
+  def ivfTopKKmeans(prepared: DataFrame, initPred: Column, iters: Int,
+                    queryPred: Column, k: Int): DataFrame = {
+    val assigned = ivfAssignWith(prepared, kmeansCentroids(prepared, initPred, iters))
+    val q = assigned.filter(queryPred)
+      .select(col("cluster_id"), col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
+    val c = assigned
+      .select(col("cluster_id"), col("id").as("c_id"), col("qvec").as("c_vec"), col("n2").as("c_n2"))
+    val scored = c.join(broadcast(q), Seq("cluster_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(dot(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-dup pairs within LSH buckets. */
   def nearDupPairs(prepared: DataFrame, projs: Seq[Seq[Int]], threshold: Double): DataFrame = {
     val bucketed = prepared.withColumn("bucket", lshBucket(col("qvec"), projs))

@@ -324,6 +324,50 @@ object ExtQueries {
         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
       SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
 
+    // ----- similarity: k-means-trained IVF ANN top-k ---------------------
+    ("q47_ann_ivf_kmeans", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      Similarity.ivfTopKKmeans(prepared, col("id") % 250 === 0, iters = 2,
+        queryPred = col("id") % 100 === 0, k = 3)
+        .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some {
+      // Lloyd iterations unrolled from the same template the Spark side
+      // executes: assign (max cosine, ties to lowest centroid id) →
+      // per-dimension ROUNDED mean (centroids stay integer-valued, so
+      // every product/sum below is exact and engine-independent).
+      def iter(i: Int): String = s"""
+      a$i AS (SELECT vec_id, qvec, n2, cent_id AS cluster_id FROM (
+        SELECT n.vec_id, n.qvec, n.n2, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            list_dot_product(n.qvec, c.cvec) / sqrt(n.n2 * c.cn2) DESC, c.cent_id) AS r
+        FROM n, c${i - 1} c) WHERE r = 1),
+      m$i AS (SELECT cluster_id, pos, round(sum(v) / count(*)) AS m FROM (
+        SELECT cluster_id, unnest(qvec) AS v, unnest(range(1, len(qvec) + 1)) AS pos FROM a$i)
+        GROUP BY cluster_id, pos),
+      c$i AS (SELECT cent_id, cvec, list_dot_product(cvec, cvec) AS cn2 FROM (
+        SELECT cluster_id AS cent_id, list(m ORDER BY pos) AS cvec FROM m$i GROUP BY cluster_id))"""
+      s"""
+      WITH $prepSql,
+      c0 AS (SELECT vec_id AS cent_id, qvec AS cvec, n2 AS cn2 FROM n WHERE vec_id % 250 = 0),
+      ${iter(1)},
+      ${iter(2)},
+      afin AS (SELECT vec_id, qvec, n2, cent_id AS cluster_id FROM (
+        SELECT n.vec_id, n.qvec, n.n2, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            list_dot_product(n.qvec, c.cvec) / sqrt(n.n2 * c.cn2) DESC, c.cent_id) AS r
+        FROM n, c2 c) WHERE r = 1),
+      q AS (SELECT cluster_id, vec_id AS q_id, qvec AS q_vec, n2 AS q_n2
+        FROM afin WHERE vec_id % 100 = 0),
+      scored AS (SELECT q.q_id, c.vec_id AS c_id,
+        list_dot_product(q.q_vec, c.qvec) / sqrt(q.q_n2 * c.n2) AS cos_sim
+        FROM afin c JOIN q ON c.cluster_id = q.cluster_id AND q.q_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+    }),
+
     // ----- multimodal: binary payload + typed metadata -------------------
     ("q27_multimodal_meta", (s: SparkSession, dir: String) => {
       import s.implicits._
@@ -483,6 +527,80 @@ object ExtQueries {
              THEN 1 ELSE 0 END AS new_sess
         FROM e)
       SELECT user_id, count(*) AS n_events, CAST(sum(new_sess) AS BIGINT) AS n_sessions
-      FROM f GROUP BY user_id ORDER BY user_id"""))
+      FROM f GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- generator/UDTF surface: lateral explode + re-aggregate --------
+    ("q48_explode_tokens", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // document-frequency per (lang, token): posexplode is the generator
+      // (UDTF-shaped) operator; the re-aggregation counts distinct docs.
+      // Filtered to tokens seen in ≥ 25 docs to keep the result small.
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"lang", $"doc_id", posexplode(TA.tokens(lower($"text"))).as(Seq("pos", "tok")))
+        .filter(length($"tok") >= 3)
+        .groupBy($"lang", $"tok")
+        .agg(countDistinct($"doc_id").as("doc_freq"),
+          count(lit(1)).as("n_occurrences"),
+          min($"pos").cast("long").as("min_pos"))
+        .filter($"doc_freq" >= 25)
+        .orderBy("lang", "tok")
+    }, Some("""
+      WITH t AS (SELECT lang, doc_id, pos - 1 AS pos, tok FROM (
+        SELECT lang, doc_id,
+          unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+          unnest(range(1, len(string_split_regex(trim(lower(text)), '\s+')) + 1)) AS pos
+        FROM documents))
+      SELECT lang, tok, count(DISTINCT doc_id) AS doc_freq,
+        count(*) AS n_occurrences, CAST(min(pos) AS BIGINT) AS min_pos
+      FROM t WHERE length(tok) >= 3
+      GROUP BY lang, tok HAVING count(DISTINCT doc_id) >= 25
+      ORDER BY lang, tok""")),
+
+    // ----- continuous percentiles / median over exact-integer domain -----
+    ("q49_percentiles", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // percentile_cont interpolates a + (b-a)*frac; over integer-valued
+      // doubles both terms are exact, so the result is engine-identical
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("median_qty"),
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25_qty"),
+          expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity)").as("p95_qty"),
+          avg($"l_quantity").as("mean_qty"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS median_qty,
+        quantile_cont(l_quantity, 0.25) AS p25_qty,
+        quantile_cont(l_quantity, 0.95) AS p95_qty,
+        sum(l_quantity) / count(*) AS mean_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- RANGE-frame windows: value-based sliding aggregates -----------
+    ("q50_range_window", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // orders within ±3 days of each order, per customer: RANGE frames
+      // bound by VALUE distance (vs the ROWS frames of q13/q40)
+      val days = datediff($"o_orderdate", lit("1992-01-01")).cast("long")
+      val w = Window.partitionBy($"o_custkey").orderBy(days)
+        .rangeBetween(-3, 3)
+      Tables.t(s, dir, "orders")
+        .filter($"o_custkey" < 200)
+        .select($"o_custkey", $"o_orderkey", days.as("day_no"),
+          count(lit(1)).over(w).as("n_near"),
+          max($"o_orderkey").over(w).as("max_near_key"))
+        .orderBy("o_custkey", "day_no", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day_no,
+        count(*) OVER w AS n_near,
+        max(o_orderkey) OVER w AS max_near_key
+      FROM orders WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey
+        ORDER BY CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+        RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      ORDER BY o_custkey, day_no, o_orderkey"""))
   )
 }
