@@ -601,6 +601,52 @@ object ExtQueries {
       WINDOW w AS (PARTITION BY o_custkey
         ORDER BY CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
         RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-      ORDER BY o_custkey, day_no, o_orderkey"""))
+      ORDER BY o_custkey, day_no, o_orderkey""")),
+
+    // ----- correlated subqueries (scalar + EXISTS), spark.sql surface ----
+    ("q51_correlated_subquery", (s: SparkSession, dir: String) => {
+      // the SQL-text path: Catalyst decorrelates the scalar subqueries
+      // into left-outer aggregate joins and the EXISTS into a semi-join
+      Tables.t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+          (SELECT count(*) FROM orders_v o
+           WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+           FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS total_spend
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment,
+        (SELECT count(*) FROM orders o
+         WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+         FROM orders o WHERE o.o_custkey = c.c_custkey) AS total_spend
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      ORDER BY c_custkey""")),
+
+    // ----- pivot: status columns per priority ----------------------------
+    ("q52_pivot", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -53,4 +53,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.length == 1)
     assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (1L, 2L))
   }
+
+  test("kmeansCentroids separates two synthetic blobs and stays integer-valued") {
+    // blob A around (10000, 0, ...), blob B around (0, 10000, ...)
+    val vecs = (0L until 10L).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.01f * i) else Seq(0.01f * i, 1.0f)
+      (i, base ++ Seq.fill(6)(0.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val p = Similarity.prepare(df, "vec_id", "embedding")
+    // init from ids 0 (blob A) and 1 (blob B)
+    val cents = Similarity.kmeansCentroids(p, col("id") <= 1, iters = 2).orderBy("cent_id")
+    val rows = cents.collect()
+    assert(rows.length == 2)
+    // centroids stay integer-valued doubles (the exactness invariant)
+    rows.foreach { r =>
+      r.getSeq[Double](1).foreach(v => assert(v == math.rint(v), s"non-integer centroid $v"))
+    }
+    // each vector lands with its own blob's centroid
+    val assigned = Similarity.ivfAssignWith(p, cents)
+      .select(col("id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { i =>
+      assert(assigned(i) == (if (i % 2 == 0) 0L else 1L), s"vector $i misassigned")
+    }
+  }
 }
