@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.SortedLongJaccard
+import graft.functions.{DoubleDot, SortedLongJaccard}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions for SQL use.
@@ -16,22 +16,36 @@ import graft.functions.SortedLongJaccard
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.sortedLongJaccardFn)
+    e.injectFunction(GraftExtensions.doubleDotFn)
   }
 }
 
 object GraftExtensions {
-  private def build(exprs: Seq[Expression]): Expression = {
+  private def buildJaccard(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "sorted_long_jaccard(arrayA, arrayB)")
     SortedLongJaccard(exprs(0), exprs(1))
+  }
+
+  private def buildDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "double_dot(arrayA, arrayB)")
+    DoubleDot(exprs(0), exprs(1))
   }
 
   val sortedLongJaccardFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_long_jaccard"),
     new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_long_jaccard"),
-    build _)
+    buildJaccard _)
+
+  val doubleDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("double_dot"),
+    new ExpressionInfo(classOf[DoubleDot].getName, "double_dot"),
+    buildDot _)
 
   /** Register on an already-built session (tests, shells). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_long_jaccard", build, "built-in")
+      "sorted_long_jaccard", buildJaccard, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "double_dot", buildDot, "built-in")
+  }
 }

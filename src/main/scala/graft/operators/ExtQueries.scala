@@ -109,9 +109,10 @@ object ExtQueries {
       val alpha = regexp_count($"text", lit("[a-z]"))
       val punct = regexp_count($"text", lit("[^a-z0-9 ]"))
       val toks = TA.tokens(lower($"text"))
-      val stops = TA.Stopwords.toMap.apply("en")
-      val swHits = size(filter(toks, t => stops.foldLeft(lit(false))((a, w) => a || t === w)))
-      Tables.spread(Tables.t(s, dir, "documents")).select(
+      // stopword hits via the codegen'd join path (score_en), not a
+      // per-token interpreted lambda — same counts, corpus-scale shape
+      val swHits = col("score_en")
+      TA.langScores(Tables.spread(Tables.t(s, dir, "documents")), "doc_id", "text").select(
           $"doc_id",
           n.as("n_chars_calc"),
           (alpha.cast("double") / n).as("alpha_ratio"),

@@ -12,4 +12,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(r == 0.5)
   }
+
+  test("double_dot is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT double_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
 }
