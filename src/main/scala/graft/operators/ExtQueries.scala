@@ -648,6 +648,36 @@ object ExtQueries {
         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
         count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- distinct-count sketch: KMV estimate vs exact ------------------
+    ("q53_kmv_sketch", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // KMV with the shared md5-derived 48-bit hash (the engine-portable
+      // twin of functions.KmvDistinct): estimate = (k-1) / r_k where r_k
+      // is the k-th smallest normalized hash. The estimate stays DOUBLE —
+      // one division both engines compute identically — no rounding seam.
+      val k = 64
+      val d = Tables.t(s, dir, "lineitem")
+        .select($"l_returnflag".as("flag"), $"l_partkey").distinct()
+        .withColumn("h", conv(substring(
+          md5($"l_partkey".cast("string").cast("binary")), 1, 12), 16, 10).cast("long"))
+      val w = Window.partitionBy($"flag").orderBy($"h", $"l_partkey")
+      val est = d.withColumn("rn", row_number().over(w)).filter($"rn" === k)
+        .select($"flag",
+          (lit((k - 1).toDouble) * lit(math.pow(2, 48)) / $"h".cast("double"))
+            .as("est_distinct"))
+      val exact = d.groupBy($"flag").agg(count(lit(1)).as("n_exact"))
+      exact.join(est, Seq("flag")).orderBy("flag")
+    }, Some("""
+      WITH d AS (SELECT DISTINCT l_returnflag AS flag, l_partkey FROM lineitem),
+      h AS (SELECT flag, l_partkey,
+        ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS h FROM d),
+      r AS (SELECT flag, h,
+        row_number() OVER (PARTITION BY flag ORDER BY h, l_partkey) AS rn FROM h),
+      e AS (SELECT flag, 63.0 * 281474976710656 / h AS est_distinct FROM r WHERE rn = 64),
+      x AS (SELECT flag, count(*) AS n_exact FROM d GROUP BY flag)
+      SELECT x.flag, n_exact, est_distinct FROM x JOIN e USING (flag) ORDER BY flag"""))
   )
 }
