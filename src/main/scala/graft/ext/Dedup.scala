@@ -77,10 +77,20 @@ object Dedup {
     * narrow (band, id) rows → distinct candidate pairs → join hash sets
     * back → exact Jaccard verify ≥ threshold.
     *
-    * `docs` must have columns (id, shingles: array<string>).
+    * `docs` must have columns (id, shingles: array<string>). When the
+    * shingle hashes are already computed (the codegen'd
+    * functions.WordShingleHash32 kernel), call minhashLshPairsHashed
+    * directly.
     */
-  def minhashLshPairs(docs: DataFrame, nBands: Int, threshold: Double): DataFrame = {
-    val hs = docs.select(col("id"), shingleHashes(col("shingles")).as("hs")).cache()
+  def minhashLshPairs(docs: DataFrame, nBands: Int, threshold: Double): DataFrame =
+    minhashLshPairsHashed(
+      docs.select(col("id"), shingleHashes(col("shingles")).as("hs")),
+      nBands, threshold)
+
+  /** The pipeline over pre-hashed docs (id, hs: array<long>). */
+  def minhashLshPairsHashed(hashedDocs: DataFrame, nBands: Int,
+                            threshold: Double): DataFrame = {
+    val hs = hashedDocs.select(col("id"), col("hs")).cache()
     val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
     val bands = (0 until nBands).map(b =>
       struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))

@@ -62,15 +62,13 @@ object TextAnalysis {
   }
 
   /** Character n-gram set packed into collision-free int64s
-    * (codepoint-radix 0x110000): downstream joins/intersects shuffle and
-    * compare longs instead of strings — same sets, ~4× cheaper verify. */
-  def charNgramInts(text: Column, n: Int = 3): Column = {
-    val M = 1114112L // 0x110000 > any Unicode codepoint
-    val nGrams = greatest(length(text) - (n - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), nGrams), i =>
-      (0 until n).map(k => ascii(text.substr(i + k, lit(1))))
-        .reduce((acc, c) => acc * M + c)))
-  }
+    * (codepoint-radix 0x110000), sorted + distinct: downstream
+    * joins/intersects shuffle and compare longs instead of strings, and
+    * the sorted form feeds the two-pointer SortedLongJaccard verify
+    * directly. Backed by the codegen'd functions.CharNgramLongs kernel
+    * (one primitive pass per document, no per-gram lambda eval). */
+  def charNgramInts(text: Column, n: Int = 3): Column =
+    graft.functions.CharNgramLongs(text, n)
 
   /** Stopword lists per language (disjoint, ASCII-safe except zh). */
   val Stopwords: Seq[(String, Seq[String])] = Seq(

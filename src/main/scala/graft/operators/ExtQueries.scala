@@ -192,8 +192,9 @@ object ExtQueries {
     ("q21_dedup_minhash", (s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables.spread(Tables.t(s, dir, "documents"))
-        .select($"doc_id".as("id"), TA.shingles($"text", 3).as("shingles"))
-      Dedup.minhashLshPairs(docs, nBands = 4, threshold = 0.5)
+        .select($"doc_id".as("id"),
+          graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
+      Dedup.minhashLshPairsHashed(docs, nBands = 4, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }, Some(s"""
       $minhashPairsCte
@@ -214,7 +215,7 @@ object ExtQueries {
       val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
         $"doc_id".as("id"),
         concat($"lang", lit("_"), expr("n_chars div 100")).as("bucket"),
-        array_sort(TA.charNgramInts($"text", 3)).as("grams"))
+        TA.charNgramInts($"text", 3).as("grams"))  // already sorted+distinct
       Dedup.ngramJaccardPairs(docs, threshold = 0.55, broadcastGrams = true)
         .orderBy("id_a", "id_b")
     }, Some("""
@@ -400,9 +401,10 @@ object ExtQueries {
     ("q41_dedup_apply", (s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables.spread(Tables.t(s, dir, "documents"))
-      val shingled = docs.select($"doc_id".as("id"), TA.shingles($"text", 3).as("shingles"))
+      val shingled = docs.select($"doc_id".as("id"),
+        graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
       // drop the higher-id member of every near-dup pair, keep the rest
-      val dropIds = Dedup.minhashLshPairs(shingled, nBands = 4, threshold = 0.5)
+      val dropIds = Dedup.minhashLshPairsHashed(shingled, nBands = 4, threshold = 0.5)
         .select($"id_b".as("doc_id")).distinct()
       docs.join(dropIds, Seq("doc_id"), "left_anti")
         .select($"doc_id", $"lang")
