@@ -137,6 +137,89 @@ object Dedup {
       .select(col("id"), packed.cast("long").as("simhash"))
   }
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round takes the min of its own and its neighbors' labels;
+    * convergence (no label decreased) is the exact fixpoint — the same
+    * one a recursive-CTE oracle computes. The cluster id is therefore
+    * the minimum doc id of the component, which is exactly the "keep"
+    * representative dedup wants.
+    *
+    * Scale shape: each round is one equi-join edges⋈labels + a
+    * min-aggregate — all hash-partitioned on the node id; rounds needed
+    * = component diameter. Use this form only when the pair list itself
+    * is too large for one task; near-dup pair lists are sparse (orders
+    * smaller than the corpus), so `connectedComponentsLocal` — one
+    * shuffle of the narrow pair list into a linear-time union-find — is
+    * the default. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // USING-joins on renamed columns: nbrMin derives from labels, so
+      // DataFrame-qualified references (labels("id") === nbrMin(...))
+      // would be self-join-ambiguous and can silently degenerate
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+        .select(col("src").as("id"), col("nbr_label"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          col("label").as("old_label"))
+        .cache()
+      converged = updated.filter(col("new_label") < col("old_label")).count() == 0
+      val next = updated.select(col("id"), col("new_label").as("label")).cache()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Connected components of a (sparse) pair list via union-find in a
+    * single task: the pair rows — two longs each — shuffle once to one
+    * partition and a path-compressing union-find labels every node with
+    * its component's minimum id (union always roots the smaller id, so
+    * the result is edge-order independent, hence deterministic). This is
+    * an mapPartitions kernel, not a driver collect: the pair list never
+    * leaves the cluster. Linear in |pairs|; right whenever the pair list
+    * fits one task (millions of pairs), which near-dup pair lists do —
+    * they are rare-event output, orders smaller than the corpus that
+    * produced them. */
+  def connectedComponentsLocal(pairs: DataFrame, idA: String = "id_a",
+                               idB: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(idA).cast("long"), col(idB).cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.LongMap[Unit]()
+        it.foreach { case (a, b) =>
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        nodes.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("id", "label")
+  }
+
   /** Character-n-gram Jaccard near-dup pairs within blocking buckets
     * (equi-join on the bucket key; no cross join). `docs` needs
     * (id, bucket, grams) — grams as SORTED DISTINCT packed ints (see

@@ -680,6 +680,40 @@ object ExtQueries {
         row_number() OVER (PARTITION BY flag ORDER BY h, l_partkey) AS rn FROM h),
       e AS (SELECT flag, 63.0 * 281474976710656 / h AS est_distinct FROM r WHERE rn = 64),
       x AS (SELECT flag, count(*) AS n_exact FROM d GROUP BY flag)
-      SELECT x.flag, n_exact, est_distinct FROM x JOIN e USING (flag) ORDER BY flag"""))
+      SELECT x.flag, n_exact, est_distinct FROM x JOIN e USING (flag) ORDER BY flag""")),
+
+    // ----- dedup: connected components over near-dup pairs ---------------
+    ("q54_dedup_components", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // cluster the q23-style n-gram near-dup pairs into components:
+      // transitive closure turns pairwise matches into dedup groups whose
+      // id (= min member) is the kept representative
+      val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
+        $"doc_id".as("id"),
+        concat($"lang", lit("_"), expr("n_chars div 100")).as("bucket"),
+        TA.charNgramInts($"text", 3).as("grams"))
+      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.55, broadcastGrams = true)
+      Dedup.connectedComponentsLocal(pairs)
+        .groupBy($"label".as("component"))
+        .agg(count(lit(1)).as("n_members"), max($"id").as("max_id"))
+        .orderBy("component")
+    }, Some("""
+      WITH RECURSIVE d AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS bucket,
+        list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+          i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 1114112 + ascii(substr(text, i + 1, 1))) * 1114112 + ascii(substr(text, i + 2, 1)))) AS grams
+        FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b USING (bucket)
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.55),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      cc(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst),
+      comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+      SELECT component, count(*) AS n_members, max(id) AS max_id
+      FROM comp GROUP BY component ORDER BY component"""))
   )
 }

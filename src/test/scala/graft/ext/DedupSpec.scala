@@ -87,6 +87,27 @@ class DedupSpec extends AnyFunSuite {
     assert(wrapped, "no seed ever wrapped the modulus — mix is order-preserving")
   }
 
+  test("connected components: chains, cliques, and singleton edges") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> component 1
+      (10L, 11L),                      // pair -> component 10
+      (20L, 21L), (20L, 22L), (21L, 22L)) // clique -> component 20
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponentsLocal(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val expected = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(local == expected)
+    // the distributed iterative form reaches the same fixpoint
+    val iter = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(iter == expected)
+    // edge-order independence (determinism)
+    val shuffled = Dedup.connectedComponentsLocal(
+      pairs.orderBy($"id_b".desc)).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(shuffled == expected)
+  }
+
   test("minhash permutation constants stay exact in signed-64 arithmetic") {
     val maxH = (1L << 32) - 1
     (0 until 64).foreach { s =>
