@@ -51,7 +51,8 @@ object Multimodal {
   }
 
   /** Per-partition feature extraction: one pass, codec-style setup cost
-    * paid once per partition, not per row. */
+    * paid once per partition, not per row. `frameEvery` is the
+    * frame-sampling stride (keep every n-th decoded frame). */
   def extractFeatures(ds: Dataset[MediaDoc], frameEvery: Int = 1): Dataset[MediaFeature] =
     ds.mapPartitions { it =>
       // per-partition setup would bind the codec here
@@ -61,4 +62,20 @@ object Multimodal {
         }
       }
     }(mediaFeatureEnc)
+
+  /** Resize plan for a frame: fit (width, height) inside a maxDim box
+    * preserving aspect ratio, never upscaling. The geometry is the real
+    * production math; applying it to pixels is part of the stubbed codec
+    * step. Exposed as a Column pair so it composes with any frame
+    * DataFrame. */
+  def resizeDims(width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column,
+                 maxDim: Int): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val longest = greatest(width, height)
+    // 10000-scaled integer ratio keeps the arithmetic exact and portable
+    val scale1e4 = when(longest <= maxDim, lit(10000L))
+      .otherwise((lit(maxDim.toLong * 10000L) / longest).cast("long"))
+    def apply(c: org.apache.spark.sql.Column) =
+      greatest(lit(1L), (c * scale1e4 / 10000L).cast("long"))
+    (apply(width), apply(height))
+  }
 }

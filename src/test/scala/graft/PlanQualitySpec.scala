@@ -62,6 +62,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pair generation degenerated into a cross join:\n$plan")
   }
 
+  test("q18 language scoring is a broadcast join, not a lambda filter") {
+    val df = SparkEntry.queries("q18_text_langid")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"stopword join not broadcast:\n$plan")
+    assert(!plan.contains("ArrayFilter"), s"interpreted lambda filter in plan:\n$plan")
+  }
+
+  test("q23/q54 pair generation never degenerates into a cross join") {
+    Seq("q23_dedup_ngram", "q54_dedup_components").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"), s"$q uses a cartesian product:\n$plan")
+    }
+  }
+
+  test("q47 k-means centroids are broadcast in assignment") {
+    val df = SparkEntry.queries("q47_ann_ivf_kmeans")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroid/query side not broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 pipeline (AQE final plan)") {
     val df = SparkEntry.queries("q01_agg")(spark, TestSpark.Sf)
     df.collect() // AQE only materializes the final plan after execution

@@ -40,4 +40,18 @@ class MultimodalSpec extends AnyFunSuite {
     val sampled = Multimodal.extractFeatures(media, frameEvery = 2).count()
     assert(sampled <= all && sampled > 0)
   }
+
+  test("resizeDims fits within the box, preserves aspect, never upscales") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val frames = Seq((1, 200, 100), (2, 100, 200), (3, 50, 40), (4, 1000, 10))
+      .toDF("id", "w", "h")
+    val (rw, rh) = Multimodal.resizeDims(col("w"), col("h"), maxDim = 64)
+    val got = frames.select(col("id"), rw.as("rw"), rh.as("rh"))
+      .orderBy("id").as[(Int, Long, Long)].collect()
+    assert(got(0) == ((1, 64L, 32L)))   // landscape downscale
+    assert(got(1) == ((2, 32L, 64L)))   // portrait downscale
+    assert(got(2) == ((3, 50L, 40L)))   // inside the box: untouched
+    assert(got(3) == ((4, 64L, 1L)))    // extreme aspect clamps to >= 1
+  }
 }
