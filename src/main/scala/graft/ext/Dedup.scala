@@ -121,10 +121,18 @@ object Dedup {
     s"sum(CASE WHEN ((d$pos $divOp $pow) % 2) = 1 THEN 1 ELSE -1 END)"
   }
 
-  /** 32-bit SimHash per document: explode tokens, md5 each token ONCE,
-    * precompute its 8 leading hex-digit values, then 32 ±1 bit votes
-    * (map-side combined), majority → bit. `docs` needs (id, tokens). */
-  def simhash32(docs: DataFrame): DataFrame = {
+  /** 32-bit SimHash per document — one codegen'd map-only pass
+    * (functions.SimHash32), no explode/shuffle. `docs` needs
+    * (id, tokens). */
+  def simhash32(docs: DataFrame): DataFrame =
+    docs.select(col("id"), graft.functions.SimHash32(col("tokens")).as("simhash"))
+
+  /** The exploded/aggregated form of simhash32 — same bits, built from
+    * the shared SQL template (md5DigitSql/simhashBitSql). The kernel is
+    * validated against this in DedupSpec; it also remains the shape to
+    * reach for if single documents ever carry more tokens than one task
+    * comfortably hashes. */
+  def simhash32Exploded(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("id"), explode(col("tokens")).as("tok"))
       .select(col("id"), md5(col("tok")).as("m"))
       .select(col("id") +: (1 to 8).map(p => expr(md5DigitSql("m", p)).as(s"d$p")): _*)

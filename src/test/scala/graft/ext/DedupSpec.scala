@@ -37,6 +37,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(r => r._2 >= 0 && r._2 < (1L << 32)))
   }
 
+  test("simhash32 kernel equals the exploded template form bit-for-bit") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "one"),
+      (4L, "dup dup dup dup"))  // multiplicity matters for votes
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.tokens($"text").as("tokens"))
+    val kernel = Dedup.simhash32(docs).orderBy("id").as[(Long, Long)].collect().toSeq
+    val exploded = Dedup.simhash32Exploded(docs).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(kernel == exploded)
+  }
+
   test("ngramJaccardPairs respects blocking and threshold") {
     val docs = Seq(
       (1L, "b1", Seq(1L, 2L, 3L, 4L)),
