@@ -62,6 +62,29 @@ object EventStream {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
+  /** Left-outer stream-stream interval join: every click emits — joined
+    * to same-user purchases within the following hour when they exist,
+    * with nulls once the watermark proves no purchase can still arrive.
+    * The outer side's completeness is watermark-driven: a click row is
+    * held in state only until `click_ts + attributionWindow` passes the
+    * watermark, keeping state bounded exactly like the inner form. */
+  def clickOutcomes(events: DataFrame, attributionWindow: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", attributionWindow)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", attributionWindow)
+    clicks.join(purchases,
+      expr(s"""c_user = p_user AND purchase_ts >= click_ts
+              AND purchase_ts <= click_ts + INTERVAL $attributionWindow"""),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   case class UserEvent(user_id: Long, tsec: Long)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
   case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
