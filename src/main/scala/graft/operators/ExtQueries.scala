@@ -714,6 +714,30 @@ object ExtQueries {
         SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst),
       comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
       SELECT component, count(*) AS n_members, max(id) AS max_id
-      FROM comp GROUP BY component ORDER BY component"""))
+      FROM comp GROUP BY component ORDER BY component""")),
+
+    // ----- date spine / gap fill: dense daily series ---------------------
+    ("q55_date_spine", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // dense calendar over the observed range (sequence + explode), left
+      // join the per-day aggregate, zero-fill the gaps — the standard
+      // time-series densification every reporting pipeline needs
+      val daily = Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1998-01-01"))
+        .groupBy($"o_orderdate".as("day")).agg(count(lit(1)).as("n_orders"))
+      val bounds = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val spine = bounds
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select($"day", coalesce($"n_orders", lit(0L)).as("n_orders"))
+        .orderBy("day")
+    }, Some("""
+      WITH daily AS (SELECT o_orderdate AS day, count(*) AS n_orders
+        FROM orders WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds)
+      SELECT spine.day AS day, coalesce(n_orders, 0) AS n_orders
+      FROM spine LEFT JOIN daily ON spine.day = daily.day
+      ORDER BY spine.day"""))
   )
 }
