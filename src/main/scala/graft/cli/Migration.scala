@@ -83,7 +83,8 @@ object Migration {
     /** Phase 1: CREATE TABLE on the target (tablemeta.go:48-154). */
     def tableStructure(): Unit = phase("TableStructure") {
       val ddls = workList.map { t =>
-        TypeMapper.createTableDdl(t, source.columns(t))
+        TypeMapper.createTableDdl(t, source.columns(t),
+          cfg.charInLength, cfg.useNvarchar2)
       }
       execAll(workList.map(t => s"""drop table if exists "${t.toLowerCase}" cascade""")) // root.go:142
       execAll(ddls)

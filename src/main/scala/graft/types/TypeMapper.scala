@@ -87,9 +87,14 @@ object TypeMapper {
     s""""${m.columnName.toLowerCase}" ${toPgType(m, charInLength, useNvarchar2)}$default $nullable"""
   }
 
-  /** Full CREATE TABLE statement (cmd/tablemeta.go:54,135-148). */
-  def createTableDdl(table: String, cols: Seq[ColumnMeta]): String = {
-    val body = cols.sortBy(_.ordinalPosition).map(columnDdl(_)).mkString(", ")
+  /** Full CREATE TABLE statement (cmd/tablemeta.go:54,135-148).
+    * `charInLength`/`useNvarchar2` are the reference's config-driven
+    * character-length-unit switches (tablemeta.go:100-110). */
+  def createTableDdl(table: String, cols: Seq[ColumnMeta],
+                     charInLength: Boolean = false,
+                     useNvarchar2: Boolean = false): String = {
+    val body = cols.sortBy(_.ordinalPosition)
+      .map(columnDdl(_, charInLength, useNvarchar2)).mkString(", ")
     s"""create table "${table.toLowerCase}" ($body)"""
   }
 
