@@ -183,9 +183,11 @@ object Similarity {
       val scored = prepared.crossJoin(broadcast(cents))
         .select(col("id"), col("qvec"), col("cent_id"),
           cosine(dot(col("qvec"), col("cent_vec")), col("n2"), col("cent_n2")).as("cent_cos"))
-      val w = Window.partitionBy(col("id")).orderBy(col("cent_cos").desc, col("cent_id"))
-      val assigned = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-        .select(col("id"), col("qvec"), col("cent_id").as("cluster_id"))
+      // arg-max as a hash aggregate (max_by over (cos, -cent_id): max
+      // cosine, ties to the LOWEST centroid id) — no per-id sort
+      val assigned = scored.groupBy(col("id"))
+        .agg(first(col("qvec")).as("qvec"),
+          max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id"))).as("cluster_id"))
       val perDim = assigned
         .select(col("cluster_id"), posexplode(col("qvec")).as(Seq("pos", "v")))
         .groupBy(col("cluster_id"), col("pos"))
@@ -200,14 +202,16 @@ object Similarity {
   }
 
   /** IVF assignment against an explicit centroid table (trained or
-    * sampled): nearest centroid by cosine, ties to lowest id. */
+    * sampled): nearest centroid by cosine, ties to lowest id — an
+    * arg-max hash aggregate, no per-vector sort. */
   def ivfAssignWith(prepared: DataFrame, cents: DataFrame): DataFrame = {
     val scored = prepared.crossJoin(broadcast(cents))
       .select(col("id"), col("qvec"), col("n2"), col("cent_id"),
         cosine(dot(col("qvec"), col("cent_vec")), col("n2"), col("cent_n2")).as("cent_cos"))
-    val w = Window.partitionBy(col("id")).orderBy(col("cent_cos").desc, col("cent_id"))
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col("id"), col("qvec"), col("n2"), col("cent_id").as("cluster_id"))
+    scored.groupBy(col("id"))
+      .agg(first(col("qvec")).as("qvec"), first(col("n2")).as("n2"),
+        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id"))).as("cluster_id"))
+      .select(col("id"), col("qvec"), col("n2"), col("cluster_id"))
   }
 
   /** k-means-trained IVF top-k: train centroids with `iters` Lloyd
