@@ -87,6 +87,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"centroid/query side not broadcast:\n$plan")
   }
 
+  test("ANN top-k gets WindowGroupLimit (partial per-partition top-k before shuffle)") {
+    // the rank()<=k filter lets Spark keep only k rows per key per
+    // partition ahead of the window sort — at scale this caps the
+    // shuffle at |keys|·k rows instead of the full candidate stream
+    val df = SparkEntry.queries("q24_ann_bruteforce")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("whole-stage codegen covers the q01 pipeline (AQE final plan)") {
     val df = SparkEntry.queries("q01_agg")(spark, TestSpark.Sf)
     df.collect() // AQE only materializes the final plan after execution
