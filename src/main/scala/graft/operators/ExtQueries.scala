@@ -738,6 +738,38 @@ object ExtQueries {
       spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds)
       SELECT spine.day AS day, coalesce(n_orders, 0) AS n_orders
       FROM spine LEFT JOIN daily ON spine.day = daily.day
-      ORDER BY spine.day"""))
+      ORDER BY spine.day""")),
+
+    // ----- as-of join, native operator (custom LogicalPlan/Strategy) -----
+    ("q56_asof_native", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // same semantics as q45 but through the custom merge operator
+      // (plans.AsOfJoinExec): one forward pass per co-partition instead
+      // of range-join row multiplication + windowed top-1
+      if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      val ev = Tables.t(s, dir, "events")
+        .filter($"event_id" >= 2000 && $"event_id" < 4000)
+        .select($"event_id", $"user_id", date_trunc("second", $"ts").as("tsec"))
+      val orders = Tables.t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("timestamp").as("o_ts"))
+      graft.plans.AsOfJoinOps.asofBackward(ev, orders,
+          key = ("user_id", "o_custkey"), time = ("tsec", "o_ts"),
+          rightTieBreak = Seq("o_orderkey"))
+        .select($"event_id", $"user_id", $"o_orderkey".as("latest_orderkey"),
+          $"o_ts".as("latest_orderdate"))
+        .orderBy("event_id")
+    }, Some("""
+      WITH ev AS (SELECT event_id, user_id, date_trunc('second', ts) AS tsec
+        FROM events WHERE event_id >= 2000 AND event_id < 4000),
+      m AS (SELECT ev.event_id, ev.user_id, o.o_orderkey, o.o_orderdate,
+        row_number() OVER (PARTITION BY ev.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS r
+        FROM ev LEFT JOIN orders o
+          ON ev.user_id = o.o_custkey AND o.o_orderdate <= ev.tsec)
+      SELECT event_id, user_id, o_orderkey AS latest_orderkey,
+             o_orderdate AS latest_orderdate
+      FROM m WHERE r = 1 ORDER BY event_id"""))
   )
 }

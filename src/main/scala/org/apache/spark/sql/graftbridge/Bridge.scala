@@ -1,14 +1,21 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 
-/** Access bridge into `private[sql]` Column ↔ Expression conversions —
-  * the supported way for external libraries to expose custom Catalyst
-  * expressions as Columns on Spark 4's unified Column API.
+/** Access bridge into `private[sql]` Column ↔ Expression ↔ LogicalPlan
+  * conversions — the supported way for external libraries to expose
+  * custom Catalyst expressions and logical plans on Spark 4's unified
+  * Column API.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a custom logical plan (Dataset.ofRows is
+    * private[sql]). */
+  def dataset(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
