@@ -106,8 +106,11 @@ object ExtQueries {
     ("q17_text_quality", (s: SparkSession, dir: String) => {
       import s.implicits._
       val n = length($"text")
-      val alpha = regexp_count($"text", lit("[a-z]"))
-      val punct = regexp_count($"text", lit("[^a-z0-9 ]"))
+      // char-class counts as primitive loops (CharClassCount kernels) —
+      // the regex engine per character is scan-path overhead; semantics
+      // (incl. multibyte-as-punct) pinned to the regexes in specs
+      val alpha = graft.functions.CharClassCounts.alphaCount($"text")
+      val punct = graft.functions.CharClassCounts.punctCount($"text")
       val toks = TA.tokens(lower($"text"))
       // stopword hits via the codegen'd join path (score_en), not a
       // per-token interpreted lambda — same counts, corpus-scale shape
