@@ -773,6 +773,61 @@ object ExtQueries {
           ON ev.user_id = o.o_custkey AND o.o_orderdate <= ev.tsec)
       SELECT event_id, user_id, o_orderkey AS latest_orderkey,
              o_orderdate AS latest_orderdate
-      FROM m WHERE r = 1 ORDER BY event_id"""))
+      FROM m WHERE r = 1 ORDER BY event_id""")),
+
+    // ----- incremental sync: src/dst diff by PK + row hash ---------------
+    ("q57_incremental_diff", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the incremental form of the reference's full re-migration: rows
+      // to INSERT (pk missing at target), UPDATE (pk present, row hash
+      // differs), DELETE (target orphans). Target is simulated
+      // deterministically: drop every 97th order, stale every 89th price.
+      val rowHash = md5(concat_ws("|",
+        $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        format_number($"o_totalprice", 2), $"o_orderpriority").cast("binary"))
+      val src = Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderpriority")
+      val dst = src.filter($"o_orderkey" % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 89 === 0, $"o_totalprice" + 1.0).otherwise($"o_totalprice"))
+        // target-only orphans (deleted upstream): negated every-101st pk
+        .unionByName(src.filter($"o_orderkey" % 101 === 0)
+          .withColumn("o_orderkey", -$"o_orderkey"))
+      val sh = src.select($"o_orderkey".as("pk"), rowHash.as("h"))
+      val dh = dst.select($"o_orderkey".as("pk"), rowHash.as("h"))
+      val ins = sh.join(dh, Seq("pk"), "left_anti")
+        .select(lit("insert").as("change_type"), $"pk")
+      val upd = sh.join(dh.withColumnRenamed("h", "h2"), Seq("pk"))
+        .filter($"h" =!= $"h2")
+        .select(lit("update").as("change_type"), $"pk")
+      val del = dh.join(sh, Seq("pk"), "left_anti")
+        .select(lit("delete").as("change_type"), $"pk")
+      ins.unionByName(upd).unionByName(del)
+        .groupBy($"change_type")
+        .agg(count(lit(1)).as("n_rows"), min($"pk").as("min_pk"), max($"pk").as("max_pk"))
+        .orderBy("change_type")
+    }, Some("""
+      WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders),
+      dst AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+          o_orderpriority
+        FROM src WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM src WHERE o_orderkey % 101 = 0),
+      sh AS (SELECT o_orderkey AS pk, md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+          || '|' || format('{:.2f}', o_totalprice) || '|' || o_orderpriority) AS h FROM src),
+      dh AS (SELECT o_orderkey AS pk, md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+          || '|' || format('{:.2f}', o_totalprice) || '|' || o_orderpriority) AS h FROM dst),
+      changes AS (
+        SELECT 'insert' AS change_type, pk FROM sh WHERE pk NOT IN (SELECT pk FROM dh)
+        UNION ALL
+        SELECT 'update', sh.pk FROM sh JOIN dh USING (pk) WHERE sh.h <> dh.h
+        UNION ALL
+        SELECT 'delete', pk FROM dh WHERE pk NOT IN (SELECT pk FROM sh))
+      SELECT change_type, count(*) AS n_rows, min(pk) AS min_pk, max(pk) AS max_pk
+      FROM changes GROUP BY change_type ORDER BY change_type"""))
   )
 }
