@@ -828,6 +828,45 @@ object ExtQueries {
         UNION ALL
         SELECT 'delete', pk FROM dh WHERE pk NOT IN (SELECT pk FROM sh))
       SELECT change_type, count(*) AS n_rows, min(pk) AS min_pk, max(pk) AS max_pk
-      FROM changes GROUP BY change_type ORDER BY change_type"""))
+      FROM changes GROUP BY change_type ORDER BY change_type""")),
+
+    // ----- skew: salted two-phase aggregation == plain group-by ----------
+    ("q58_salted_agg", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      // decimal accumulation keeps the salted partial sums exact, so the
+      // salt-bucketed result is bit-identical to the direct aggregate
+      graft.catalog.Skew.saltedSumCount(
+          Tables.t(s, dir, "lineitem"),
+          $"l_suppkey", $"l_quantity".cast(DecimalType(18, 2)), buckets = 8)
+        .select($"k".as("suppkey"),
+          $"sum_value".cast(DecimalType(38, 2)).cast("double").as("sum_qty"),
+          $"n_rows")
+        .orderBy("suppkey")
+    }, Some("""
+      SELECT l_suppkey AS suppkey,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_suppkey ORDER BY suppkey""")),
+
+    // ----- skew: salted join == plain equi-join --------------------------
+    ("q59_salted_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val big = Tables.t(s, dir, "lineitem")
+        .select($"l_suppkey".as("suppkey"), $"l_quantity")
+      val small = Tables.t(s, dir, "supplier")
+        .select($"s_suppkey".as("suppkey"), $"s_name")
+      graft.catalog.Skew.saltedJoin(big, small, "suppkey", buckets = 8)
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity".cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).cast("double").as("sum_qty"))
+        .orderBy("s_name")
+    }, Some("""
+      SELECT s_name, count(*) AS n_items,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY s_name"""))
   )
 }
