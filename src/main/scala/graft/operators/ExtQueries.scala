@@ -867,6 +867,34 @@ object ExtQueries {
       SELECT s_name, count(*) AS n_items,
         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      GROUP BY s_name ORDER BY s_name"""))
+      GROUP BY s_name ORDER BY s_name""")),
+
+    // ----- scalar surface: the wider string-function family --------------
+    ("q60_string_funcs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "customer")
+        .filter($"c_custkey" <= 200)
+        .select(
+          $"c_custkey",
+          expr("translate(c_name, '#_', '-~')").as("translated"),
+          lpad($"c_mktsegment", 12, ".").as("seg_lpad"),
+          rpad($"c_mktsegment", 12, ".").as("seg_rpad"),
+          reverse($"c_name").as("name_rev"),
+          expr("split_part(c_name, '_', 2)").as("seg_part"),
+          expr("instr(c_name, '_')").cast("long").as("pos_dash"),
+          expr("left(c_name, 3)").as("left3"),
+          expr("right(c_name, 3)").as("right3"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+        translate(c_name, '#_', '-~') AS translated,
+        lpad(c_mktsegment, 12, '.') AS seg_lpad,
+        rpad(c_mktsegment, 12, '.') AS seg_rpad,
+        reverse(c_name) AS name_rev,
+        split_part(c_name, '_', 2) AS seg_part,
+        CAST(instr(c_name, '_') AS BIGINT) AS pos_dash,
+        left(c_name, 3) AS left3,
+        right(c_name, 3) AS right3
+      FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""))
   )
 }
