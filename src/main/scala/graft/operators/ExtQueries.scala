@@ -795,15 +795,15 @@ object ExtQueries {
         .unionByName(src.filter($"o_orderkey" % 101 === 0)
           .withColumn("o_orderkey", -$"o_orderkey"))
       val sh = src.select($"o_orderkey".as("pk"), rowHash.as("h"))
-      val dh = dst.select($"o_orderkey".as("pk"), rowHash.as("h"))
-      val ins = sh.join(dh, Seq("pk"), "left_anti")
-        .select(lit("insert").as("change_type"), $"pk")
-      val upd = sh.join(dh.withColumnRenamed("h", "h2"), Seq("pk"))
-        .filter($"h" =!= $"h2")
-        .select(lit("update").as("change_type"), $"pk")
-      val del = dh.join(sh, Seq("pk"), "left_anti")
-        .select(lit("delete").as("change_type"), $"pk")
-      ins.unionByName(upd).unionByName(del)
+      val dh = dst.select($"o_orderkey".as("pk"), rowHash.as("h2"))
+      // one full-outer join classifies all three change kinds in a single
+      // pass — the anti/semi/inner triple would scan each side three times
+      sh.join(dh, Seq("pk"), "full_outer")
+        .select($"pk",
+          when($"h2".isNull, "insert")
+            .when($"h".isNull, "delete")
+            .when($"h" =!= $"h2", "update").as("change_type"))
+        .filter($"change_type".isNotNull)
         .groupBy($"change_type")
         .agg(count(lit(1)).as("n_rows"), min($"pk").as("min_pk"), max($"pk").as("max_pk"))
         .orderBy("change_type")
