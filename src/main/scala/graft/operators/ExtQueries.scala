@@ -895,6 +895,60 @@ object ExtQueries {
         CAST(instr(c_name, '_') AS BIGINT) AS pos_dash,
         left(c_name, 3) AS left3,
         right(c_name, 3) AS right3
-      FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"""))
+      FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""")),
+
+    // ----- scalar surface: bitwise operators ------------------------------
+    ("q61_bitwise", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .filter($"o_orderkey" <= 500)
+        .select(
+          $"o_orderkey",
+          ($"o_orderkey".bitwiseAND(255L)).as("and255"),
+          ($"o_orderkey".bitwiseOR(16L)).as("or16"),
+          ($"o_orderkey".bitwiseXOR(255L)).as("xor255"),
+          shiftleft($"o_orderkey", 2).as("shl2"),
+          shiftright($"o_orderkey", 1).as("shr1"),
+          bitwise_not($"o_orderkey").as("inv"),
+          bit_count($"o_orderkey").cast("long").as("popcnt"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        o_orderkey & 255 AS and255,
+        o_orderkey | 16 AS or16,
+        xor(o_orderkey, 255) AS xor255,
+        o_orderkey << 2 AS shl2,
+        o_orderkey >> 1 AS shr1,
+        ~o_orderkey AS inv,
+        CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
+    // ----- scalar surface: date/time function family ----------------------
+    ("q62_datetime_funcs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .filter($"o_orderkey" <= 500)
+        .select(
+          $"o_orderkey",
+          date_add($"o_orderdate".cast("date"), 30).as("plus30"),
+          last_day($"o_orderdate".cast("date")).as("month_end"),
+          year($"o_orderdate").cast("long").as("yr"),
+          month($"o_orderdate").cast("long").as("mo"),
+          dayofmonth($"o_orderdate").cast("long").as("dom"),
+          quarter($"o_orderdate").cast("long").as("qtr"),
+          dayofweek($"o_orderdate").cast("long").as("dow_sun1"),
+          weekofyear($"o_orderdate").cast("long").as("iso_week"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        (o_orderdate::DATE + INTERVAL 30 DAY)::DATE AS plus30,
+        last_day(o_orderdate::DATE) AS month_end,
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(month(o_orderdate) AS BIGINT) AS mo,
+        CAST(day(o_orderdate) AS BIGINT) AS dom,
+        CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""))
   )
 }
