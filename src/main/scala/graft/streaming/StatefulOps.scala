@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Arbitrary-state streaming operators on the Spark 4 `transformWithState`
   * API (the successor of flatMapGroupsWithState: typed state variables,
@@ -76,5 +76,63 @@ object StatefulOps {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  case class TimedKeyedEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class InactiveUser(user_id: Long, last_seen_ms: Long, n_events: Long)
+
+  /** Inactivity detection on event-time TIMERS — the piece of the
+    * transformWithState API the value-state ops don't exercise: every
+    * batch re-arms one timer at last-event + gap; when the watermark
+    * passes it, handleExpiredTimer fires exactly once with the user's
+    * final state. The emission is timer-driven (nothing arrives for the
+    * key in that batch), which flatMapGroupsWithState could do only
+    * through its timeout flag — here timers are first-class and
+    * per-key-re-armable. */
+  class InactivityProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedKeyedEvent, InactiveUser] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[(Long, Long)]("seen",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedKeyedEvent],
+                                 timers: TimerValues): Iterator[InactiveUser] = {
+      var (last, n) = if (seen.exists) seen.get else (Long.MinValue, 0L)
+      rows.foreach { e =>
+        last = math.max(last, e.ts.getTime)
+        n += 1
+      }
+      seen.update((last, n))
+      // stale-timer pattern: timers from earlier batches are left in
+      // place and ignored at expiry (their time ≠ the current deadline);
+      // deleting while iterating listTimers mutates the store mid-scan
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[InactiveUser] = {
+      if (seen.exists) {
+        val (last, n) = seen.get
+        // only the timer registered at the CURRENT deadline counts
+        if (last + gapMs == expired.getExpiryTimeInMs) {
+          seen.clear()
+          return Iterator.single(InactiveUser(key, last, n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Emit each user once, when the event-time watermark passes their
+    * last event + gap. Input must carry a watermark on `ts`. */
+  def inactiveUsers(events: Dataset[TimedKeyedEvent],
+                    gapMs: Long = 3600 * 1000L): Dataset[InactiveUser] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

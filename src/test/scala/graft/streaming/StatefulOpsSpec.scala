@@ -47,6 +47,40 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState event-time timers fire once per inactive user") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import StatefulOps.{InactiveUser, TimedKeyedEvent}
+      // NOT epoch-0-based: rows at/behind the initial watermark (0) are
+      // dropped as late in EventTime mode
+      val base = 1704067200000L // 2024-01-01
+      def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+      val in = MemoryStream[TimedKeyedEvent]
+      val q = StatefulOps.inactiveUsers(
+          in.toDS().withWatermark("ts", "0 seconds"), gapMs = 10 * 60000L)
+        .writeStream.format("memory").queryName("tws_timers")
+        .outputMode("append").start()
+      try {
+        // user 1: events at t=0,5; user 2: event at t=0
+        in.addData(TimedKeyedEvent(1L, ts(0)), TimedKeyedEvent(2L, ts(0)))
+        q.processAllAvailable()
+        in.addData(TimedKeyedEvent(1L, ts(5)))
+        q.processAllAvailable()
+        // advance the watermark far past both users' last+gap
+        in.addData(TimedKeyedEvent(99L, ts(60)))
+        q.processAllAvailable()
+        // one more batch so the watermark update takes effect on timers
+        in.addData(TimedKeyedEvent(99L, ts(61)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_timers").as[InactiveUser].collect()
+        .filter(u => u.user_id == 1L || u.user_id == 2L)
+        .map(u => u.user_id -> (((u.last_seen_ms - base) / 60000L), u.n_events)).toMap
+      assert(got(1L) == ((5L, 2L)), s"user 1 wrong: $got")
+      assert(got(2L) == ((0L, 1L)), s"user 2 wrong: $got")
+    }
+  }
+
   test("transformWithState running stats accumulate across batches") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
