@@ -949,6 +949,69 @@ object ExtQueries {
         CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
         CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
         CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
+    // ----- scalar surface: null-handling family ---------------------------
+    ("q63_null_funcs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // lag introduces genuine nulls to exercise the family on
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      Tables.t(s, dir, "orders")
+        .filter($"o_custkey" < 100)
+        .withColumn("prev_key", lag($"o_orderkey", 1).over(w))
+        .select(
+          $"o_custkey", $"o_orderkey",
+          coalesce($"prev_key", lit(-1L)).as("prev_or_neg1"),
+          $"prev_key".isNull.as("is_first"),
+          when($"prev_key".isNotNull, $"o_orderkey" - $"prev_key").as("gap"),
+          expr("nvl2(prev_key, 'has_prev', 'first')").as("nvl2_tag"),
+          nullif($"o_orderkey" % 10, lit(0)).as("nullif_mod"),
+          greatest($"o_orderkey" % 7, $"o_orderkey" % 11).as("gr"),
+          least($"o_orderkey" % 7, $"o_orderkey" % 11).as("ls"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      WITH w AS (SELECT o_custkey, o_orderkey,
+        lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key
+        FROM orders WHERE o_custkey < 100)
+      SELECT o_custkey, o_orderkey,
+        coalesce(prev_key, -1) AS prev_or_neg1,
+        prev_key IS NULL AS is_first,
+        CASE WHEN prev_key IS NOT NULL THEN o_orderkey - prev_key END AS gap,
+        CASE WHEN prev_key IS NOT NULL THEN 'has_prev' ELSE 'first' END AS nvl2_tag,
+        nullif(o_orderkey % 10, 0) AS nullif_mod,
+        greatest(o_orderkey % 7, o_orderkey % 11) AS gr,
+        least(o_orderkey % 7, o_orderkey % 11) AS ls
+      FROM w ORDER BY o_custkey, o_orderkey""")),
+
+    // ----- scalar surface: IEEE-exact math family -------------------------
+    ("q64_math_funcs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // only IEEE-exact operations (abs/sign/sqrt/floor/ceil/mod/div):
+      // transcendentals (exp/ln/pow) are libm-dependent in the last ulp
+      // and intentionally excluded from the oracle surface
+      val v = $"o_totalprice" - 150000.0
+      Tables.t(s, dir, "orders")
+        .filter($"o_orderkey" <= 500)
+        .select(
+          $"o_orderkey",
+          abs(v).as("abs_v"),
+          signum(v).as("sign_v"),
+          sqrt(abs(v)).as("sqrt_v"),
+          floor(v).as("floor_v"),
+          ceil(v).as("ceil_v"),
+          ($"o_orderkey" % 97).as("mod97"),
+          ($"o_orderkey" / lit(8)).cast("long").as("div8"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        abs(o_totalprice - 150000.0) AS abs_v,
+        CAST(sign(o_totalprice - 150000.0) AS DOUBLE) AS sign_v,
+        sqrt(abs(o_totalprice - 150000.0)) AS sqrt_v,
+        CAST(floor(o_totalprice - 150000.0) AS BIGINT) AS floor_v,
+        CAST(ceil(o_totalprice - 150000.0) AS BIGINT) AS ceil_v,
+        o_orderkey % 97 AS mod97,
+        o_orderkey // 8 AS div8
       FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""))
   )
 }
