@@ -1012,6 +1012,54 @@ object ExtQueries {
         CAST(ceil(o_totalprice - 150000.0) AS BIGINT) AS ceil_v,
         o_orderkey % 97 AS mod97,
         o_orderkey // 8 AS div8
-      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey"""))
+      FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""")),
+
+    // ----- statistical aggregates from exact sums -------------------------
+    ("q65_variance_exact", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      // built-in stddev/var accumulate doubles in partition order —
+      // nondeterministic under re-partitioning. The scale-stable form:
+      // exact decimal sums of x and x², then one fixed double formula.
+      val x = $"l_quantity".cast(DecimalType(12, 2))
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DecimalType(38, 2)).cast("double").as("sum_x"),
+          sum(x * x).cast(DecimalType(38, 4)).cast("double").as("sum_x2"))
+        .select($"l_returnflag", $"n",
+          (($"sum_x2" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1)).as("var_samp"),
+          sqrt(($"sum_x2" - $"sum_x" * $"sum_x" / $"n") / ($"n" - 1)).as("stddev_samp"),
+          ($"sum_x" / $"n").as("mean"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH a AS (SELECT l_returnflag, count(*) AS n,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_x,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_x2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (sum_x2 - sum_x * sum_x / n) / (n - 1) AS var_samp,
+        sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev_samp,
+        sum_x / n AS mean
+      FROM a ORDER BY l_returnflag""")),
+
+    // ----- data profiling: fixed-width histogram --------------------------
+    ("q66_histogram", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // 20 fixed bins over [0, 600000): bin = floor(x / 30000), clamped —
+      // the migration-QA profile of a column's distribution
+      val bin = least(floor($"o_totalprice" / 30000.0).cast("long"), lit(19L))
+      Tables.t(s, dir, "orders")
+        .groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("bin_lo", $"bin" * 30000L)
+        .orderBy("bin")
+    }, Some("""
+      SELECT least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) AS bin,
+        count(*) AS n_orders,
+        least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) * 30000 AS bin_lo
+      FROM orders
+      GROUP BY 1 ORDER BY bin"""))
   )
 }
