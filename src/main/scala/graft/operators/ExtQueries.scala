@@ -1060,6 +1060,33 @@ object ExtQueries {
         count(*) AS n_orders,
         least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) * 30000 AS bin_lo
       FROM orders
-      GROUP BY 1 ORDER BY bin"""))
+      GROUP BY 1 ORDER BY bin""")),
+
+    // ----- structured streaming under the batch oracle --------------------
+    ("q67_stream_window", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the streaming windowed-count pipeline executed as a real
+      // streaming query (file source → watermark → window agg → memory
+      // sink), then handed to the gate: Structured Streaming's result is
+      // oracle-checked against the same SQL as the batch form
+      // the file source wants a directory: expose events.parquet through
+      // a temp dir (symlink — no copy)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q67")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = graft.streaming.EventStream
+        .streamFromParquetDir(s, tmp.toString)
+      val q = graft.streaming.EventStream.windowedCounts(stream)
+        .writeStream.format("memory").queryName("q67_mem")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q67_mem")
+        .select($"hour_start", $"event_type", $"n_events")
+        .orderBy("hour_start", "event_type")
+    }, Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+        count(*) AS n_events
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
   )
 }
