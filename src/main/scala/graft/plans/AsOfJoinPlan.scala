@@ -99,21 +99,30 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { l =>
         val k = lk.eval(l)
         val t = lt.eval(l)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rk.eval(head)
-          val c = keyOrd.compare(hk, k)
-          if (c < 0 || (c == 0 && timeOrd.compare(rt.eval(head), t) <= 0)) {
-            val consumed = rBuf.next()
-            if (c == 0) { matchRow = consumed.copy(); matchKey = hk }
-            else { matchRow = null; matchKey = null } // smaller key flushed
-          } else advance = false
+        // SQL join semantics: a null key or null time matches nothing
+        if (k == null || t == null) project(joined(l, nullRight))
+        else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rk.eval(head)
+            if (hk == null) { rBuf.next() } // null right key matches nothing
+            else {
+              val c = keyOrd.compare(hk, k)
+              val ht = if (c == 0) rt.eval(head) else null
+              if (c < 0 || (c == 0 && ht != null && timeOrd.compare(ht, t) <= 0)) {
+                val consumed = rBuf.next()
+                if (c == 0) { matchRow = consumed.copy(); matchKey = hk }
+                else { matchRow = null; matchKey = null } // smaller key flushed
+              } else if (c == 0 && ht == null) { rBuf.next() } // null time: skip
+              else advance = false
+            }
+          }
+          val r =
+            if (matchRow != null && keyOrd.compare(matchKey, k) == 0) matchRow
+            else nullRight
+          project(joined(l, r))
         }
-        val r =
-          if (matchRow != null && keyOrd.compare(matchKey, k) == 0) matchRow
-          else nullRight
-        project(joined(l, r))
       }
     }
   }

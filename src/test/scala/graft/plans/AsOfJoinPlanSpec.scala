@@ -69,6 +69,18 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(df.count() == ev.count())
   }
 
+  test("null keys and null times match nothing (SQL join semantics)") {
+    val l = Seq((1L, Some(10L), Some(100L)), (2L, None, Some(100L)), (3L, Some(10L), None))
+      .toDF("lid", "k", "t")
+    val r = Seq((Some(10L), Some(50L), 900L), (Some(10L), None, 901L), (None, Some(1L), 902L))
+      .toDF("k2", "rt", "rid")
+    val got = AsOfJoinOps.asofBackward(l, r, key = ("k", "k2"), time = ("t", "rt"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(900L)) // real match ignores null-time/null-key rows
+    assert(got(2L).isEmpty)        // null left key
+    assert(got(3L).isEmpty)        // null left time
+  }
+
   test("nulls for keys with no prior right row; exact pick on a crafted series") {
     val l = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 99L, 50L))
       .toDF("lid", "k", "t")
