@@ -1087,6 +1087,26 @@ object ExtQueries {
     }, Some("""
       SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
         count(*) AS n_events
-      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+      FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")),
+
+    // ----- scalar surface: regex extraction with groups -------------------
+    ("q68_regex_extract", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "customer")
+        .filter($"c_custkey" <= 300)
+        .select(
+          $"c_custkey",
+          regexp_extract($"c_name", "([a-zA-Z]+)_?([0-9]*)", 1).as("name_word"),
+          regexp_extract($"c_name", "([0-9]+)", 1).as("first_num"),
+          ($"c_name" rlike "[0-9]").as("has_digit"),
+          regexp_replace($"c_name", "[0-9]+", "#").as("nums_masked"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey,
+        regexp_extract(c_name, '([a-zA-Z]+)_?([0-9]*)', 1) AS name_word,
+        regexp_extract(c_name, '([0-9]+)', 1) AS first_num,
+        regexp_matches(c_name, '[0-9]') AS has_digit,
+        regexp_replace(c_name, '[0-9]+', '#', 'g') AS nums_masked
+      FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""))
   )
 }
