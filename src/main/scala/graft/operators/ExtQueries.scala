@@ -332,7 +332,9 @@ object ExtQueries {
     // ----- similarity: k-means-trained IVF ANN top-k ---------------------
     ("q47_ann_ivf_kmeans", (s: SparkSession, dir: String) => {
       import s.implicits._
+      // cached: every Lloyd pass + the final assignment re-scans it
       val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+        .cache()
       Similarity.ivfTopKKmeans(prepared, col("id") % 250 === 0, iters = 2,
         queryPred = col("id") % 100 === 0, k = 3)
         .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
@@ -1107,6 +1109,22 @@ object ExtQueries {
         regexp_extract(c_name, '([0-9]+)', 1) AS first_num,
         regexp_matches(c_name, '[0-9]') AS has_digit,
         regexp_replace(c_name, '[0-9]+', '#', 'g') AS nums_masked
-      FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey"""))
+      FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""")),
+
+    // ----- multimodal: per-partition feature extraction (no SQL oracle) --
+    ("q69_multimodal_features", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the mapPartitions decode/feature pipeline end-to-end: binary
+      // payloads → per-partition stub decode → frame-sampled features.
+      // Deterministic (checksums are pure functions of the bytes) but a
+      // mapPartitions kernel has no SQL form — the gate records the
+      // rows-only check for this one (oracle intentionally omitted).
+      val media = graft.ext.Multimodal.toMediaDocs(
+        Tables.spread(Tables.t(s, dir, "documents")).filter($"doc_id" < 200),
+        "doc_id", "text")
+      graft.ext.Multimodal.extractFeatures(media, frameEvery = 2)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    }, None)
   )
 }
