@@ -1125,6 +1125,47 @@ object ExtQueries {
       graft.ext.Multimodal.extractFeatures(media, frameEvery = 2)
         .toDF()
         .orderBy("doc_id", "frame_idx")
-    }, None)
+    }, None),
+
+    // ----- join family completeness: FULL OUTER + CROSS ------------------
+    ("q70_full_outer_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // two deterministic halves with partial overlap → all three
+      // full-outer row classes (left-only / both / right-only)
+      val a = Tables.t(s, dir, "customer").filter($"c_custkey" % 3 === 0)
+        .select($"c_custkey".as("k"), $"c_mktsegment".as("seg_a"))
+      val b = Tables.t(s, dir, "customer").filter($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("k"), $"c_acctbal".as("bal_b"))
+      a.join(b, Seq("k"), "full_outer")
+        .select($"k", $"seg_a",
+          when($"bal_b".isNotNull, lit(1L)).otherwise(lit(0L)).as("has_b"),
+          when($"seg_a".isNotNull && $"bal_b".isNotNull, "both")
+            .when($"seg_a".isNotNull, "left_only").otherwise("right_only").as("side"))
+        .orderBy("k")
+    }, Some("""
+      WITH a AS (SELECT c_custkey AS k, c_mktsegment AS seg_a FROM customer WHERE c_custkey % 3 = 0),
+      b AS (SELECT c_custkey AS k, c_acctbal AS bal_b FROM customer WHERE c_custkey % 2 = 0)
+      SELECT coalesce(a.k, b.k) AS k, seg_a,
+        CASE WHEN bal_b IS NOT NULL THEN 1 ELSE 0 END AS has_b,
+        CASE WHEN seg_a IS NOT NULL AND bal_b IS NOT NULL THEN 'both'
+             WHEN seg_a IS NOT NULL THEN 'left_only' ELSE 'right_only' END AS side
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+      ORDER BY k""")),
+
+    ("q71_cross_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // explicit cartesian over two provably-small inputs (region 5×5):
+      // the one place a cross join is the right plan
+      val r1 = Tables.t(s, dir, "region").select($"r_regionkey".as("rk1"), $"r_name".as("n1"))
+      val r2 = Tables.t(s, dir, "region").select($"r_regionkey".as("rk2"), $"r_name".as("n2"))
+      r1.crossJoin(r2)
+        .filter($"rk1" =!= $"rk2")
+        .select($"n1", $"n2", concat($"n1", lit("->"), $"n2").as("route"))
+        .orderBy("n1", "n2")
+    }, Some("""
+      SELECT a.r_name AS n1, b.r_name AS n2, a.r_name || '->' || b.r_name AS route
+      FROM region a CROSS JOIN region b
+      WHERE a.r_regionkey <> b.r_regionkey
+      ORDER BY n1, n2"""))
   )
 }
