@@ -1166,6 +1166,29 @@ object ExtQueries {
       SELECT a.r_name AS n1, b.r_name AS n2, a.r_name || '->' || b.r_name AS route
       FROM region a CROSS JOIN region b
       WHERE a.r_regionkey <> b.r_regionkey
-      ORDER BY n1, n2"""))
+      ORDER BY n1, n2""")),
+
+    // ----- window analytics: distribution functions ----------------------
+    ("q72_window_distribution", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // percent_rank = (rank-1)/(n-1), cume_dist = rows≤x / n: exact
+      // rational values both engines compute with one identical division
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+      Tables.t(s, dir, "orders")
+        .filter($"o_custkey" < 50)
+        .select($"o_orderpriority", $"o_orderkey",
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(3).over(w).cast("long").as("tercile"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }, Some("""
+      SELECT o_orderpriority, o_orderkey,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        CAST(ntile(3) OVER w AS BIGINT) AS tercile
+      FROM orders WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey"""))
   )
 }
