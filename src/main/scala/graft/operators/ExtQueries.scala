@@ -1189,6 +1189,29 @@ object ExtQueries {
         CAST(ntile(3) OVER w AS BIGINT) AS tercile
       FROM orders WHERE o_custkey < 50
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
-      ORDER BY o_orderpriority, o_orderkey"""))
+      ORDER BY o_orderpriority, o_orderkey""")),
+
+    // ----- epoch / timestamp conversion family ----------------------------
+    ("q73_epoch_funcs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tsec = date_trunc("second", $"ts")
+      Tables.t(s, dir, "events")
+        .filter($"event_id" < 500)
+        .select(
+          $"event_id",
+          unix_timestamp(tsec).as("epoch_s"),
+          to_timestamp(unix_timestamp(tsec)).as("roundtrip_ts"),
+          date_trunc("minute", $"ts").as("ts_minute"),
+          date_trunc("day", $"ts").as("ts_day"),
+          to_date($"ts").as("d"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch_s,
+        to_timestamp(epoch(date_trunc('second', ts)))::TIMESTAMP AS roundtrip_ts,
+        date_trunc('minute', ts) AS ts_minute,
+        date_trunc('day', ts) AS ts_day,
+        CAST(ts AS DATE) AS d
+      FROM events WHERE event_id < 500 ORDER BY event_id"""))
   )
 }
