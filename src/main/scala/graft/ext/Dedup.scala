@@ -184,6 +184,8 @@ object Dedup {
         .cache()
       converged = updated.filter(col("new_label") < col("old_label")).count() == 0
       val next = updated.select(col("id"), col("new_label").as("label")).cache()
+      next.count() // materialize before dropping the plan it reads from
+      updated.unpersist()
       labels.unpersist()
       labels = next
       it += 1

@@ -20,17 +20,26 @@ import org.apache.spark.sql.graftbridge.Bridge
   * generated path, and the quantized integer-valued inputs (see
   * ext.Similarity) make each product and partial sum exact, so results
   * are bit-identical across engines and partitionings.
+  *
+  * Length mismatch returns NULL (matching `zip_with`+`aggregate`, which
+  * null-pads the shorter side into a null product). Array ELEMENTS are
+  * required non-null (`containsNull=false`) — embeddings are dense; the
+  * hot loop reads doubles unchecked, so a null element would read as
+  * 0.0. The SQL-registered form shares these semantics.
   */
 case class DoubleDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_dot"
+  // produces null on length mismatch even for non-null inputs
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var i = 0
     var acc = 0.0
     while (i < n) {
@@ -46,12 +55,16 @@ case class DoubleDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -1,0 +1,568 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.ext.{IntervalJoin, TextAnalysis => TA}
+
+/** Round-3 operator surface: the collection/array + map function
+  * families, unpivot/melt, lateral joins, LOCF gap-fill, gaps-and-
+  * islands, exact-sum correlation/regression and higher moments,
+  * bit/bool aggregates, deterministic mode, hopping windows, the
+  * bucketed interval join (the non-equi-join scale rewrite), TF-IDF
+  * scoring, and a JSON construct/parse round trip.
+  *
+  * Determinism rules follow SURVEY §8 / the round-2 notes: exact
+  * arithmetic (decimal or integer-valued doubles) inside aggregates,
+  * DOUBLE at the output boundary, array outputs rendered as sorted
+  * joined strings, a total ORDER BY everywhere, identical aliases and
+  * formula shapes on both engines.
+  */
+object Round3Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c).cast(DecimalType(38, scale)).cast("double")
+
+  /** DuckDB rendering of TextAnalysis.normText (same as ExtQueries). */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+
+  val queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- collection surface: the array function family ------------------
+    ("q74_array_funcs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // arrays derived from scalars so both engines build identical inputs
+      val a = sequence(lit(1L), lit(1L) + ($"o_orderkey" % 5))
+      val b = sequence(($"o_orderkey" % 3) + 1, ($"o_orderkey" % 3) + 4)
+      Tables.t(s, dir, "orders").filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", a.as("a"), b.as("b"))
+        .select($"o_orderkey",
+          concat_ws(",", sort_array(array_union($"a", $"b"))).as("union_s"),
+          concat_ws(",", sort_array(array_intersect($"a", $"b"))).as("intersect_s"),
+          concat_ws(",", sort_array(array_except($"a", $"b"))).as("except_s"),
+          size($"a").cast("long").as("n_a"),
+          array_contains($"b", 3L).cast("long").as("has3"),
+          element_at($"a", 1).as("first_a"),
+          concat_ws(",", slice($"b", 2, 2)).as("slice_b"),
+          concat_ws(",", flatten(array($"a", $"b"))).as("flat_s"),
+          array_position($"b", 4L).cast("long").as("pos4"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH base AS (SELECT o_orderkey,
+          range(1, o_orderkey % 5 + 2) AS a,
+          range(o_orderkey % 3 + 1, o_orderkey % 3 + 5) AS b
+        FROM orders WHERE o_orderkey <= 1000)
+      SELECT o_orderkey,
+        array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_s,
+        coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '') AS intersect_s,
+        coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS except_s,
+        len(a) AS n_a,
+        CAST(list_contains(b, 3) AS BIGINT) AS has3,
+        a[1] AS first_a,
+        array_to_string(b[2:3], ',') AS slice_b,
+        array_to_string(list_concat(a, b), ',') AS flat_s,
+        coalesce(list_position(b, 4), 0) AS pos4
+      FROM base ORDER BY o_orderkey""")),
+
+    // ----- collection surface: the map function family --------------------
+    ("q75_map_funcs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the oracle computes the same outputs straight from the scalars —
+      // the check is that Spark's map ops preserve entry order + values
+      val m = map_from_arrays(
+        array(lit("p"), lit("s")),
+        array($"o_orderpriority", $"o_orderstatus"))
+      Tables.t(s, dir, "orders").filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", m.as("m"))
+        .select($"o_orderkey",
+          concat_ws(",", map_keys($"m")).as("keys_s"),
+          concat_ws(",", map_values($"m")).as("vals_s"),
+          element_at($"m", "p").as("p_val"),
+          size($"m").cast("long").as("n_entries"),
+          concat_ws(",", map_values(
+            transform_values($"m", (k, v) => concat(k, lit(":"), v)))).as("tagged"),
+          concat_ws(",", map_keys(
+            map_filter($"m", (k, _) => k === "s"))).as("only_s"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+        'p,s' AS keys_s,
+        o_orderpriority || ',' || o_orderstatus AS vals_s,
+        o_orderpriority AS p_val,
+        CAST(2 AS BIGINT) AS n_entries,
+        'p:' || o_orderpriority || ',s:' || o_orderstatus AS tagged,
+        's' AS only_s
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")),
+
+    // ----- reshaping: unpivot / melt --------------------------------------
+    ("q76_unpivot", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders").filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey",
+          $"o_totalprice".as("totalprice"),
+          ($"o_orderkey" % 7).cast("double").as("keymod"))
+        .unpivot(Array($"o_orderkey"), Array($"totalprice", $"keymod"),
+          "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    }, Some("""
+      SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+      FROM orders WHERE o_orderkey <= 2000
+      UNION ALL
+      SELECT o_orderkey, 'keymod', CAST(o_orderkey % 7 AS DOUBLE)
+      FROM orders WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey, metric""")),
+
+    // ----- lateral join: per-row dependent subquery -----------------------
+    ("q77_lateral_topk", (s: SparkSession, dir: String) => {
+      // LATERAL with correlated ORDER BY + LIMIT: per-customer top-2
+      // orders — Catalyst decorrelates the limit into a ranked join
+      Tables.t(s, dir, "customer").createOrReplaceTempView("customer_l")
+      Tables.t(s, dir, "orders").createOrReplaceTempView("orders_l")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_l c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_l o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 500
+        ORDER BY c.c_custkey, t.o_orderkey""")
+    }, Some("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+      WHERE c.c_custkey <= 500
+      ORDER BY c.c_custkey, t.o_orderkey""")),
+
+    // ----- window: LOCF gap fill (last observation carried forward) -------
+    ("q78_locf_gap_fill", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // punch deterministic holes, then fill forward with IGNORE NULLS —
+      // the standard sensor/feature-table repair operator
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"user_id",
+          date_trunc("second", $"ts").as("tsec"),
+          when($"event_id" % 7 === 0, lit(null)).otherwise($"value").as("v"))
+      val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select($"event_id", $"user_id",
+          last($"v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy("event_id")
+    }, Some("""
+      SELECT event_id, user_id,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY tsec, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      FROM (SELECT event_id, user_id, date_trunc('second', ts) AS tsec,
+              CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+            FROM events)
+      ORDER BY event_id""")),
+
+    // ----- gaps & islands: activity streak detection ----------------------
+    ("q79_islands_streaks", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val days = Tables.t(s, dir, "events")
+        .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      val islands = days.withColumn("grp",
+        datediff($"day", lit(java.sql.Date.valueOf("1970-01-01")))
+          - row_number().over(w))
+      islands.groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("len"), min($"day").as("start"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_streaks"),
+          max($"len").as("max_streak_days"),
+          date_format(min($"start"), "yyyy-MM-dd").as("first_day"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+      g AS (SELECT user_id, day,
+        date_diff('day', DATE '1970-01-01', day)
+          - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days),
+      st AS (SELECT user_id, grp, count(*) AS len, min(day) AS start
+        FROM g GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak_days,
+        strftime(min(start), '%Y-%m-%d') AS first_day
+      FROM st GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- statistics: correlation + regression from exact sums -----------
+    ("q80_corr_regression", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // built-in corr/regr_* accumulate doubles in partition order; the
+      // scale-stable form: exact decimal sums, then one fixed double
+      // formula (identical expression shape on both engines)
+      val x = $"l_quantity".cast(DecimalType(12, 2))
+      val y = $"l_extendedprice".cast(DecimalType(12, 2))
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum(x, 2).as("sx"), dsum(y, 2).as("sy"),
+          dsum(x * y, 4).as("sxy"),
+          dsum(x * x, 4).as("sx2"), dsum(y * y, 4).as("sy2"))
+        .select($"l_returnflag", $"n",
+          (($"sxy" - $"sx" * $"sy" / $"n")
+            / sqrt(($"sx2" - $"sx" * $"sx" / $"n") * ($"sy2" - $"sy" * $"sy" / $"n")))
+            .as("corr_xy"),
+          (($"sxy" - $"sx" * $"sy" / $"n") / ($"sx2" - $"sx" * $"sx" / $"n"))
+            .as("slope"),
+          (($"sy" - ($"sxy" - $"sx" * $"sy" / $"n") / ($"sx2" - $"sx" * $"sx" / $"n") * $"sx") / $"n")
+            .as("intercept"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH a AS (SELECT l_returnflag, count(*) AS n,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sx,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sy,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sxy,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sx2,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sy2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (sxy - sx * sy / n) / sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)) AS corr_xy,
+        (sxy - sx * sy / n) / (sx2 - sx * sx / n) AS slope,
+        (sy - (sxy - sx * sy / n) / (sx2 - sx * sx / n) * sx) / n AS intercept
+      FROM a ORDER BY l_returnflag""")),
+
+    // ----- statistics: skewness/kurtosis from exact integer moments -------
+    ("q81_higher_moments", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // quantity scaled to an exact integer (q100 = quantity*100); all
+      // four power sums are then exact (per-row q100^4 fits int64, sums
+      // in DECIMAL(38,0)); cast to double and use one shared formula.
+      // sqrt(m2)*m2 replaces pow(m2, 1.5): pow may differ across libm,
+      // sqrt is IEEE-correctly-rounded everywhere.
+      val q = ($"l_quantity" * 100).cast("long")
+      Tables.t(s, dir, "lineitem")
+        .select($"l_returnflag", q.as("q"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum($"q".cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).cast("double").as("s1"),
+          sum(($"q" * $"q").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).cast("double").as("s2"),
+          sum(($"q" * $"q" * $"q").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).cast("double").as("s3"),
+          sum(($"q" * $"q" * $"q" * $"q").cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).cast("double").as("s4"))
+        .select($"l_returnflag", $"n",
+          ($"s1" / $"n" / 100.0).as("mean_qty"),
+          (($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")) / 10000.0).as("m2"),
+          ((($"s3" / $"n" - lit(3.0) * ($"s1" / $"n") * ($"s2" / $"n")
+              + lit(2.0) * ($"s1" / $"n") * ($"s1" / $"n") * ($"s1" / $"n")) / 1000000.0)
+            / ((($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")) / 10000.0)
+              * sqrt(($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")) / 10000.0)))
+            .as("skewness"),
+          ((($"s4" / $"n" - lit(4.0) * ($"s1" / $"n") * ($"s3" / $"n")
+              + lit(6.0) * ($"s1" / $"n") * ($"s1" / $"n") * ($"s2" / $"n")
+              - lit(3.0) * ($"s1" / $"n") * ($"s1" / $"n") * ($"s1" / $"n") * ($"s1" / $"n")) / 100000000.0)
+            / ((($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")) / 10000.0)
+              * (($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")) / 10000.0)) - lit(3.0))
+            .as("excess_kurtosis"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH b AS (SELECT l_returnflag, CAST(l_quantity * 100 AS BIGINT) AS q FROM lineitem),
+      a AS (SELECT l_returnflag, count(*) AS n,
+        CAST(CAST(sum(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS s1,
+        CAST(CAST(sum(CAST(q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS s2,
+        CAST(CAST(sum(CAST(q * q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS s3,
+        CAST(CAST(sum(CAST(q * q * q * q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE) AS s4
+        FROM b GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        s1 / n / 100.0 AS mean_qty,
+        (s2 / n - (s1 / n) * (s1 / n)) / 10000.0 AS m2,
+        ((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n)) / 1000000.0)
+          / (((s2 / n - (s1 / n) * (s1 / n)) / 10000.0)
+            * sqrt((s2 / n - (s1 / n) * (s1 / n)) / 10000.0)) AS skewness,
+        ((s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+            - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / 100000000.0)
+          / (((s2 / n - (s1 / n) * (s1 / n)) / 10000.0)
+            * ((s2 / n - (s1 / n) * (s1 / n)) / 10000.0)) - 3.0 AS excess_kurtosis
+      FROM a ORDER BY l_returnflag""")),
+
+    // ----- aggregates: bitwise and boolean families -----------------------
+    ("q82_bit_bool_aggs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .select($"o_orderpriority",
+          ($"o_orderkey" % 256).as("kb"),
+          ($"o_totalprice" > 1000.0).as("big"),
+          ($"o_orderstatus" === "P").as("pending"))
+        .groupBy($"o_orderpriority")
+        .agg(expr("bit_and(kb)").as("band"),
+          expr("bit_or(kb)").as("bor"),
+          expr("bit_xor(kb)").as("bxor"),
+          expr("bool_and(big)").cast("long").as("all_big"),
+          expr("bool_or(pending)").cast("long").as("any_pending"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+        bit_and(o_orderkey % 256) AS band,
+        bit_or(o_orderkey % 256) AS bor,
+        bit_xor(o_orderkey % 256) AS bxor,
+        CAST(bool_and(o_totalprice > 1000.0) AS BIGINT) AS all_big,
+        CAST(bool_or(o_orderstatus = 'P') AS BIGINT) AS any_pending,
+        count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- aggregates: deterministic mode (most frequent value) -----------
+    ("q83_mode", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // built-in mode() picks an arbitrary value on ties; the ranked form
+      // pins the tie-break (highest count, then smallest value)
+      val counts = Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("n_occ"))
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"n_occ".desc, $"l_quantity".asc)
+      counts.withColumn("r", row_number().over(w)).filter($"r" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"n_occ")
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n_occ
+        FROM lineitem GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        ORDER BY n_occ DESC, l_quantity ASC) AS r FROM c)
+      SELECT l_returnflag, l_quantity AS mode_qty, n_occ
+      FROM r WHERE r = 1 ORDER BY l_returnflag""")),
+
+    // ----- time: hopping (sliding) windows, batch form --------------------
+    ("q84_hop_windows", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // 30-minute windows every 15 minutes: each event lands in exactly
+      // two windows; the oracle materializes both hop starts explicitly
+      Tables.t(s, dir, "events")
+        .groupBy(window(date_trunc("second", $"ts"), "30 minutes", "15 minutes"),
+          $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"window.start".as("win_start"), $"event_type", $"n_events")
+        .orderBy("win_start", "event_type")
+    }, Some("""
+      WITH e AS (SELECT date_trunc('second', ts) AS tsec, event_type FROM events),
+      x AS (SELECT event_type, time_bucket(INTERVAL '15 minutes', tsec) AS b FROM e),
+      w AS (SELECT event_type, b AS win_start FROM x
+            UNION ALL
+            SELECT event_type, b - INTERVAL '15 minutes' FROM x)
+      SELECT win_start, event_type, count(*) AS n_events
+      FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // ----- join: point-in-interval via bucketed equi-join rewrite ---------
+    ("q85_interval_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // overlapping price bands (width 30k every 20k): a pure range
+      // predicate that Spark would plan as a nested-loop join; the
+      // IntervalJoin rewrite buckets it into an equi-join (see
+      // ext.IntervalJoin + IntervalJoinSpec for the plan assertion)
+      val bands = s.range(0, 30).select(
+        $"id".as("band_id"),
+        ($"id" * 20000.0 - 5000.0).as("lo"),
+        ($"id" * 20000.0 + 25000.0).as("hi"))
+      val pts = Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      IntervalJoin.pointInterval(pts, "o_totalprice", bands, "lo", "hi",
+          bucketWidth = 20000.0)
+        .groupBy($"band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice".cast(DecimalType(12, 2)), 2).as("sum_price"))
+        .orderBy("band_id")
+    }, Some("""
+      WITH bands AS (SELECT i AS band_id,
+          i * 20000.0 - 5000.0 AS lo, i * 20000.0 + 25000.0 AS hi
+        FROM unnest(range(0, 30)) AS t(i))
+      SELECT band_id, count(*) AS n_orders,
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+      FROM orders JOIN bands ON lo <= o_totalprice AND o_totalprice < hi
+      GROUP BY band_id ORDER BY band_id""")),
+
+    // ----- text: TF-IDF term scoring (log-free, engine-exact) -------------
+    ("q86_tfidf", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+      val nDocs = docs.count()
+      val toks = docs
+        .select($"doc_id", explode(split(TA.normText($"text"), " ")).as("tok"))
+        .filter($"tok" =!= "")
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select($"doc_id", $"tok").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      // idf as the exact rational n_docs/df (log() differs across libm;
+      // the ranking it induces is identical)
+      val scored = tf.join(df, Seq("tok"))
+        .select($"doc_id", $"tok", $"tf", $"df",
+          (($"tf" * lit(nDocs)).cast("double") / $"df").as("score"))
+      val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok".asc)
+      scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"doc_id", $"rank".cast("long").as("rank"), $"tok", $"tf", $"df", $"score")
+        .orderBy("doc_id", "rank")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+        FROM documents),
+      tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM tk) GROUP BY tok),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, tok, tf, df,
+          CAST(tf * n_docs AS DOUBLE) / df AS score
+        FROM tf JOIN df USING (tok) CROSS JOIN nd),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, tok ASC) AS rank FROM sc)
+      SELECT doc_id, rank, tok, tf, df, score
+      FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    // ----- CDC: slowly-changing-dimension type-2 merge ---------------------
+    ("q88_scd2_merge", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the versioned form of q57's incremental diff: instead of
+      // overwriting, close out changed rows (valid_to = load date) and
+      // append the new version. Dim state is simulated like q57: every
+      // 97th key missing (insert), every 89th price stale (update).
+      val loadDate = "2024-06-01"
+      val src = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("pk"), $"o_totalprice".as("price"))
+      val dim = src.filter($"pk" % 97 =!= 0)
+        .withColumn("price",
+          when($"pk" % 89 === 0, $"price" + 1.0).otherwise($"price"))
+        .withColumn("valid_from", lit("2024-01-01"))
+      val joined = dim.join(src.select($"pk", $"price".as("src_price")),
+        Seq("pk"), "full_outer")
+      val closed = joined.filter($"price".isNotNull && $"src_price".isNotNull
+          && $"price" =!= $"src_price")
+        .select($"pk", $"price", $"valid_from", lit(loadDate).as("valid_to"),
+          lit(0L).as("is_current"))
+      val kept = joined.filter($"price".isNotNull && $"src_price".isNotNull
+          && $"price" === $"src_price")
+        .select($"pk", $"price", $"valid_from", lit(null).cast("string").as("valid_to"),
+          lit(1L).as("is_current"))
+      val newVersions = joined.filter($"src_price".isNotNull
+          && ($"price".isNull || $"price" =!= $"src_price"))
+        .select($"pk", $"src_price".as("price"), lit(loadDate).as("valid_from"),
+          lit(null).cast("string").as("valid_to"), lit(1L).as("is_current"))
+      closed.unionByName(kept).unionByName(newVersions)
+        .groupBy($"is_current", $"valid_from")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum($"price".cast(DecimalType(12, 2)), 2).as("sum_price"))
+        .orderBy("is_current", "valid_from")
+    }, Some("""
+      WITH src AS (SELECT o_orderkey AS pk, o_totalprice AS price FROM orders),
+      dim AS (SELECT pk,
+          CASE WHEN pk % 89 = 0 THEN price + 1.0 ELSE price END AS price,
+          '2024-01-01' AS valid_from
+        FROM src WHERE pk % 97 <> 0),
+      j AS (SELECT coalesce(d.pk, s.pk) AS pk, d.price AS price,
+          d.valid_from AS valid_from, s.price AS src_price
+        FROM dim d FULL OUTER JOIN src s ON d.pk = s.pk),
+      merged AS (
+        SELECT pk, price, valid_from, '2024-06-01' AS valid_to, 0 AS is_current
+        FROM j WHERE price IS NOT NULL AND src_price IS NOT NULL AND price <> src_price
+        UNION ALL
+        SELECT pk, price, valid_from, NULL, 1
+        FROM j WHERE price IS NOT NULL AND src_price IS NOT NULL AND price = src_price
+        UNION ALL
+        SELECT pk, src_price, '2024-06-01', NULL, 1
+        FROM j WHERE src_price IS NOT NULL AND (price IS NULL OR price <> src_price))
+      SELECT is_current, valid_from, count(*) AS n_rows,
+        CAST(CAST(sum(CAST(price AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY 1, 2 ORDER BY is_current, valid_from""")),
+
+    // ----- events: ordered funnel analysis ---------------------------------
+    ("q89_funnel", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // strict-order funnel view → purchase → click: each stage's
+      // timestamp must be the first occurrence AFTER the prior stage
+      val ev = Tables.t(s, dir, "events")
+        .select($"user_id", $"event_type", date_trunc("second", $"ts").as("tsec"))
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"tsec").as("t_view"))
+      val s2 = ev.filter($"event_type" === "purchase")
+        .join(s1, Seq("user_id")).filter($"tsec" > $"t_view")
+        .groupBy($"user_id").agg(min($"tsec").as("t_purchase"))
+      val s3 = ev.filter($"event_type" === "click")
+        .join(s2, Seq("user_id")).filter($"tsec" > $"t_purchase")
+        .groupBy($"user_id").agg(min($"tsec").as("t_click"))
+      val users = ev.select($"user_id").distinct()
+      users.join(s1, Seq("user_id"), "left")
+        .join(s2.select($"user_id", $"t_purchase"), Seq("user_id"), "left")
+        .join(s3.select($"user_id", $"t_click"), Seq("user_id"), "left")
+        .select(
+          count(lit(1)).as("n_users"),
+          count($"t_view").as("n_viewed"),
+          count($"t_purchase").as("n_purchased_after_view"),
+          count($"t_click").as("n_clicked_after_purchase"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type, date_trunc('second', ts) AS tsec
+        FROM events),
+      s1 AS (SELECT user_id, min(tsec) AS t_view FROM ev
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT ev.user_id, min(tsec) AS t_purchase FROM ev
+        JOIN s1 ON ev.user_id = s1.user_id
+        WHERE event_type = 'purchase' AND tsec > t_view GROUP BY ev.user_id),
+      s3 AS (SELECT ev.user_id, min(tsec) AS t_click FROM ev
+        JOIN s2 ON ev.user_id = s2.user_id
+        WHERE event_type = 'click' AND tsec > t_purchase GROUP BY ev.user_id),
+      u AS (SELECT DISTINCT user_id FROM ev)
+      SELECT count(*) AS n_users,
+        count(t_view) AS n_viewed,
+        count(t_purchase) AS n_purchased_after_view,
+        count(t_click) AS n_clicked_after_purchase
+      FROM u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)""")),
+
+    // ----- events: cohort retention matrix ---------------------------------
+    ("q90_retention_cohorts", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val days = Tables.t(s, dir, "events")
+        .select($"user_id", to_date(date_trunc("day", $"ts")).as("day"))
+        .distinct()
+      val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      days.join(cohorts, Seq("user_id"))
+        .select($"user_id", $"cohort_day", datediff($"day", $"cohort_day").as("day_offset"))
+        .filter($"day_offset" <= 7)
+        .groupBy(date_format($"cohort_day", "yyyy-MM-dd").as("cohort"),
+          $"day_offset".cast("long").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }, Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        date_diff('day', cohort_day, day) AS day_offset,
+        count(DISTINCT user_id) AS n_users
+      FROM days JOIN c USING (user_id)
+      WHERE date_diff('day', cohort_day, day) <= 7
+      GROUP BY 1, 2 ORDER BY cohort, day_offset""")),
+
+    // ----- semi-structured: JSON construct → parse round trip -------------
+    ("q87_json_roundtrip", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // to_json(struct) → from_json(schema) → field access: the typed
+      // JSON path the ingest side of a pipeline uses; the oracle reads
+      // the same fields directly (the round trip must be lossless)
+      val built = Tables.t(s, dir, "orders").filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey",
+          to_json(struct($"o_custkey".as("ck"), $"o_orderstatus".as("st"),
+            ($"o_orderkey" % 13).as("m13"))).as("js"))
+      built.select($"o_orderkey",
+          from_json($"js", org.apache.spark.sql.types.StructType.fromDDL(
+            "ck BIGINT, st STRING, m13 BIGINT")).as("parsed"),
+          get_json_object($"js", "$.st").as("st_path"))
+        .select($"o_orderkey",
+          $"parsed.ck".as("ck"), $"parsed.st".as("st"),
+          $"parsed.m13".as("m13"), $"st_path")
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey AS ck, o_orderstatus AS st,
+        o_orderkey % 13 AS m13, o_orderstatus AS st_path
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey"""))
+  )
+}

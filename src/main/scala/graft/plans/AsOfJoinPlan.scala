@@ -146,10 +146,18 @@ object AsOfJoinOps {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    val (lk, rk) = (attr(lPlan, key._1), attr(rPlan, key._2))
+    val (lt, rt) = (attr(lPlan, time._1), attr(rPlan, time._2))
+    // the exec builds interpreted orderings from the LEFT types and
+    // applies them to right-side values — a type mismatch would surface
+    // as a ClassCastException mid-task; fail at plan time instead
+    def requireSameType(what: String, a: Attribute, b: Attribute): Unit =
+      require(a.dataType == b.dataType,
+        s"as-of join $what type mismatch: left ${a.name}: ${a.dataType.sql} " +
+          s"vs right ${b.name}: ${b.dataType.sql} — cast one side first")
+    requireSameType("key", lk, rk)
+    requireSameType("time", lt, rt)
     Bridge.dataset(leftDf.sparkSession,
-      AsOfJoin(lPlan, rPlan,
-        attr(lPlan, key._1), attr(rPlan, key._2),
-        attr(lPlan, time._1), attr(rPlan, time._2),
-        rightTieBreak.map(attr(rPlan, _))))
+      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, rightTieBreak.map(attr(rPlan, _))))
   }
 }

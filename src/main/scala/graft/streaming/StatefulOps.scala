@@ -40,12 +40,16 @@ object StatefulOps {
     }
   }
 
-  /** First-seen-wins streaming dedup keyed on `dedup_key`. */
+  /** First-seen-wins streaming dedup keyed on `dedup_key`. State TTL is
+    * only meaningful under processing-time mode (Spark rejects a TTL
+    * config in TimeMode.None at query start), so the time mode follows
+    * the ttl argument. */
   def dedupStream(events: Dataset[KeyedEvent],
                   ttl: java.time.Duration = null): Dataset[KeyedEvent] = {
     import events.sparkSession.implicits._
+    val timeMode = if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.dedup_key)
-      .transformWithState(new DedupProcessor(ttl), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new DedupProcessor(ttl), timeMode, OutputMode.Append())
   }
 
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)

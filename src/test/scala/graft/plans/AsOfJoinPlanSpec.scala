@@ -92,4 +92,20 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(got(2L).contains(902L))  // t=205 → rt=205 (inclusive)
     assert(got(3L).isEmpty)         // key 99 has no right rows
   }
+
+  test("key / time type mismatches fail at plan time with a clear message") {
+    val l = Seq((1L, 10L, 100L)).toDF("lid", "k", "t")
+    val rIntKey = Seq((10, 90L, 900L)).toDF("k2", "rt", "rid") // int vs bigint key
+    val keyErr = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asofBackward(l, rIntKey, key = ("k", "k2"), time = ("t", "rt"))
+    }
+    assert(keyErr.getMessage.contains("key type mismatch"))
+
+    val rDateTime = Seq((10L, java.sql.Date.valueOf("2024-01-01"), 900L))
+      .toDF("k2", "rt", "rid") // bigint vs date time column
+    val timeErr = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asofBackward(l, rDateTime, key = ("k", "k2"), time = ("t", "rt"))
+    }
+    assert(timeErr.getMessage.contains("time type mismatch"))
+  }
 }

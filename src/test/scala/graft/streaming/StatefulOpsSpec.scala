@@ -81,6 +81,43 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState dedup with a TTL runs in processing-time mode") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[KeyedEvent]
+      // a long TTL: the query must START (TTL outside processing-time
+      // mode is rejected at query start) and dedup within the horizon.
+      // Processing-time mode runs no-data batches to advance the TTL
+      // clock — an explicit trigger interval keeps that loop from
+      // running back-to-back and starving processAllAvailable.
+      val q = StatefulOps.dedupStream(in.toDS(), ttl = java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("tws_dedup_ttl")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .outputMode("append").start()
+      // processAllAvailable() cannot be used here: processing-time TTL
+      // makes every batch request another no-data batch (to advance the
+      // TTL clock), so the stream never reports quiescence. Poll the
+      // progress feed until all input rows are committed instead.
+      def awaitInputRows(n: Long): Unit = {
+        val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+        while (q.recentProgress.map(_.numInputRows).sum < n
+            && System.nanoTime < deadline) Thread.sleep(100)
+        assert(q.recentProgress.map(_.numInputRows).sum >= n,
+          s"timed out waiting for $n input rows")
+        Thread.sleep(500) // let the sink commit settle
+      }
+      try {
+        in.addData(KeyedEvent("a", 1L, 10L, 1.0), KeyedEvent("b", 2L, 11L, 2.0))
+        awaitInputRows(2)
+        in.addData(KeyedEvent("a", 3L, 10L, 3.0)) // replica inside the TTL horizon
+        awaitInputRows(3)
+      } finally q.stop()
+      val got = spark.table("tws_dedup_ttl").as[KeyedEvent].collect()
+        .map(e => e.dedup_key -> e.event_id).sortBy(_._1)
+      assert(got.toSeq == Seq("a" -> 1L, "b" -> 2L))
+    }
+  }
+
   test("transformWithState running stats accumulate across batches") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
