@@ -542,6 +542,87 @@ object Round3Queries {
       WHERE date_diff('day', cohort_day, day) <= 7
       GROUP BY 1, 2 ORDER BY cohort, day_offset""")),
 
+    // ----- migration QA: primary-key gap detection -------------------------
+    ("q91_pk_gaps", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // find holes in a supposedly-dense key sequence — the page-planner
+      // sanity check before range-partitioned extraction: a gap bigger
+      // than the page size silently yields empty pages. The global-order
+      // window runs over the narrow pk projection only; at 100 TB this
+      // becomes lead() over range-partitioned sortWithinPartitions with
+      // a one-row boundary exchange, same semantics.
+      val keys = Tables.t(s, dir, "orders")
+        .filter($"o_orderkey" % 13 =!= 0) // punch deterministic holes
+        .select($"o_orderkey".as("pk"))
+      val w = Window.orderBy($"pk")
+      keys.withColumn("next_pk", lead($"pk", 1).over(w))
+        .filter($"next_pk" - $"pk" > 1)
+        .select(($"pk" + 1).as("gap_start"), ($"next_pk" - 1).as("gap_end"),
+          ($"next_pk" - $"pk" - 1).as("gap_len"))
+        .orderBy("gap_start")
+    }, Some("""
+      WITH keys AS (SELECT o_orderkey AS pk FROM orders WHERE o_orderkey % 13 <> 0),
+      n AS (SELECT pk, lead(pk, 1) OVER (ORDER BY pk) AS next_pk FROM keys)
+      SELECT pk + 1 AS gap_start, next_pk - 1 AS gap_end, next_pk - pk - 1 AS gap_len
+      FROM n WHERE next_pk - pk > 1 ORDER BY gap_start""")),
+
+    // ----- migration QA: content checksum compare --------------------------
+    ("q92_content_checksum", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the deep form of the reference's count(*) compare (compare.go:
+      // 102-132): an order-independent per-bucket content checksum — sum
+      // of a 48-bit md5-derived hash of each row's canonical rendering.
+      // Bucketing by pk % 16 localizes a mismatch to 1/16 of the table;
+      // at scale each bucket checksum is one partial aggregate, no sort.
+      // canonical money rendering: decimal(12,2) → string gives the same
+      // "123.45" on both engines (format_number would add locale commas)
+      val row = concat_ws("|", $"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(12, 2)).cast("string"), $"o_orderpriority")
+      Tables.t(s, dir, "orders")
+        .select(($"o_orderkey" % 16).as("bucket"),
+          conv(substring(md5(row.cast("binary")), 1, 12), 16, 10).cast("long").as("h"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+        .orderBy("bucket")
+    }, Some("""
+      SELECT o_orderkey % 16 AS bucket, count(*) AS n_rows,
+        CAST(sum(('0x' || substr(md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+          || '|' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' || o_orderpriority), 1, 12))::BIGINT) AS BIGINT) AS checksum
+      FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // ----- migration QA: referential-integrity orphan audit ----------------
+    ("q93_fk_orphans", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // FK audit across the whole schema edge (lineitem→orders,
+      // orders→customer): per edge, rows whose parent is missing — the
+      // check the reference's FK phase (tablemeta.go:257-298) implies
+      // but never runs. Deterministic holes simulate a broken target.
+      val orders = Tables.t(s, dir, "orders")
+        .filter($"o_orderkey" % 251 =!= 0)
+      val customers = Tables.t(s, dir, "customer")
+        .filter($"c_custkey" % 97 =!= 0)
+      val e1 = Tables.t(s, dir, "lineitem")
+        .join(orders, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct($"l_orderkey").as("n_distinct_keys"))
+        .select(lit("lineitem->orders").as("edge"), $"n_orphans", $"n_distinct_keys")
+      val e2 = Tables.t(s, dir, "orders")
+        .join(customers, $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct($"o_custkey").as("n_distinct_keys"))
+        .select(lit("orders->customer").as("edge"), $"n_orphans", $"n_distinct_keys")
+      e1.unionByName(e2).orderBy("edge")
+    }, Some("""
+      SELECT 'lineitem->orders' AS edge, count(*) AS n_orphans,
+        count(DISTINCT l_orderkey) AS n_distinct_keys
+      FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderkey % 251 <> 0)
+      UNION ALL
+      SELECT 'orders->customer', count(*), count(DISTINCT o_custkey)
+      FROM orders WHERE NOT EXISTS (
+        SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 97 <> 0)
+      ORDER BY edge""")),
+
     // ----- semi-structured: JSON construct → parse round trip -------------
     ("q87_json_roundtrip", (s: SparkSession, dir: String) => {
       import s.implicits._

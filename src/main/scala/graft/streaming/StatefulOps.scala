@@ -82,6 +82,70 @@ object StatefulOps {
       .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  case class RecentEvents(user_id: Long, event_ids: Seq[Long])
+
+  /** Bounded per-key event buffer on ListState — the state shape the
+    * ValueState ops don't exercise: appendValue is O(1) per arrival (no
+    * read-modify-write of the whole list), and the cap bounds state
+    * growth per key. Emits each key's current window of the last
+    * `keep` event ids after every batch it saw data in. */
+  class RecentEventsProcessor(keep: Int)
+      extends StatefulProcessor[Long, KeyedEvent, RecentEvents] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                                 timers: TimerValues): Iterator[RecentEvents] = {
+      rows.foreach(e => buf.appendValue(e.event_id))
+      val all = buf.get().toSeq
+      val trimmed = if (all.size > keep) all.takeRight(keep) else all
+      if (all.size > keep) buf.put(trimmed.toArray)
+      Iterator.single(RecentEvents(key, trimmed))
+    }
+  }
+
+  /** Last-`keep` event ids per user, maintained incrementally. */
+  def recentEvents(events: Dataset[KeyedEvent], keep: Int = 3): Dataset[RecentEvents] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(keep), TimeMode.None(), OutputMode.Update())
+  }
+
+  case class TypeCount(user_id: Long, dedup_key: String, n: Long)
+
+  /** Per-(key, sub-key) counters on MapState: one state entry per
+    * sub-key, point-updated — the shape a per-user per-event-type
+    * counter table needs. Only sub-keys seen in the batch are emitted
+    * (their new totals), not the whole map. */
+  class SubKeyCountProcessor
+      extends StatefulProcessor[Long, KeyedEvent, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                                 timers: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet[String]()
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.dedup_key)) counts.getValue(e.dedup_key) else 0L
+        counts.updateValue(e.dedup_key, cur + 1)
+        touched += e.dedup_key
+      }
+      touched.iterator.map(k => TypeCount(key, k, counts.getValue(k)))
+    }
+  }
+
+  /** Running per-(user, dedup_key) counts via MapState. */
+  def subKeyCounts(events: Dataset[KeyedEvent]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SubKeyCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   case class TimedKeyedEvent(user_id: Long, ts: java.sql.Timestamp)
   case class InactiveUser(user_id: Long, last_seen_ms: Long, n_events: Long)
 

@@ -118,6 +118,79 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState keeps a bounded recent-events buffer") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import StatefulOps.RecentEvents
+      val in = MemoryStream[KeyedEvent]
+      val q = StatefulOps.recentEvents(in.toDS(), keep = 3)
+        .writeStream.format("memory").queryName("tws_recent")
+        .outputMode("update").start()
+      try {
+        in.addData(KeyedEvent("a", 1L, 10L, 0), KeyedEvent("b", 2L, 10L, 0))
+        q.processAllAvailable()
+        in.addData(KeyedEvent("c", 3L, 10L, 0), KeyedEvent("d", 4L, 10L, 0),
+          KeyedEvent("e", 5L, 20L, 0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_recent").as[RecentEvents].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.event_ids.size) }
+      // user 10 saw 1,2,3,4 → capped to last 3
+      assert(got(10L).event_ids == Seq(2L, 3L, 4L))
+      assert(got(20L).event_ids == Seq(5L))
+    }
+  }
+
+  test("transformWithState MapState counts per sub-key incrementally") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import StatefulOps.TypeCount
+      val in = MemoryStream[KeyedEvent]
+      val q = StatefulOps.subKeyCounts(in.toDS())
+        .writeStream.format("memory").queryName("tws_subkey")
+        .outputMode("update").start()
+      try {
+        in.addData(KeyedEvent("click", 1L, 10L, 0), KeyedEvent("click", 2L, 10L, 0),
+          KeyedEvent("view", 3L, 10L, 0))
+        q.processAllAvailable()
+        in.addData(KeyedEvent("click", 4L, 10L, 0), KeyedEvent("view", 5L, 20L, 0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_subkey").as[TypeCount].collect()
+        .groupBy(r => (r.user_id, r.dedup_key))
+        .map { case (k, rs) => k -> rs.map(_.n).max }
+      assert(got((10L, "click")) == 3L)
+      assert(got((10L, "view")) == 1L)
+      assert(got((20L, "view")) == 1L)
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replicas inside the horizon") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      import StatefulOps.TimedKeyedEvent
+      val base = 1704067200000L
+      def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+      val in = MemoryStream[TimedKeyedEvent]
+      // state for a key is dropped once the watermark passes its event
+      // time + the 10-minute horizon — bounded state, unlike plain
+      // dropDuplicates on a stream
+      val q = in.toDS().withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id")
+        .writeStream.format("memory").queryName("ddww")
+        .outputMode("append").start()
+      try {
+        in.addData(TimedKeyedEvent(1L, ts(0)), TimedKeyedEvent(1L, ts(1)))
+        q.processAllAvailable()
+        in.addData(TimedKeyedEvent(1L, ts(2))) // still within horizon: dropped
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("ddww").as[TimedKeyedEvent].collect()
+      assert(got.length == 1, got.mkString(","))
+      assert(got.head.ts.getTime == base)
+    }
+  }
+
   test("transformWithState running stats accumulate across batches") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
