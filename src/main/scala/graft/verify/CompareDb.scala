@@ -44,4 +44,37 @@ object CompareDb {
     src.exceptAll(dst).withColumn("diff_side", lit("src_only"))
       .unionByName(dst.exceptAll(src).withColumn("diff_side", lit("dst_only")))
   }
+
+  /** Per-bucket content checksum: an order-independent sum of a 48-bit
+    * md5-derived hash of each row's canonical rendering, bucketed by
+    * `pk % buckets` (the q92 kernel as an API). Cheaper than
+    * contentDiff — one map-side scan + a |buckets|-row aggregate per
+    * side, no wide shuffle — and a mismatch localizes to 1/buckets of
+    * the table, which is then worth a contentDiff on that slice only.
+    * Columns are rendered with `|` separators; pass a stable column
+    * order (e.g. sorted names) so both sides hash identically. */
+  def contentChecksum(df: DataFrame, pkCol: String, cols: Seq[String],
+                      buckets: Int = 16): DataFrame = {
+    val rendered = concat_ws("|", cols.map(col): _*)
+    df.select((col(pkCol) % buckets).as("bucket"),
+        conv(substring(md5(rendered.cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+  }
+
+  /** Join two checksum reports into a per-bucket verdict. */
+  def checksumCompare(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(col("bucket"), col("n_rows").as("src_rows"),
+      col("checksum").as("src_checksum"))
+    val d = dst.select(col("bucket"), col("n_rows").as("dest_rows"),
+      col("checksum").as("dest_checksum"))
+    s.join(d, Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("src_rows"), col("dest_rows"),
+        when(col("src_rows").isNull || col("dest_rows").isNull, "NO")
+          .when(col("src_rows") === col("dest_rows")
+            && col("src_checksum") === col("dest_checksum"), "YES")
+          .otherwise("NO").as("is_ok"))
+      .orderBy("bucket")
+  }
 }
