@@ -623,6 +623,85 @@ object Round3Queries {
         SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_custkey % 97 <> 0)
       ORDER BY edge""")),
 
+    // ----- window: ratio-to-report (percent of total) ----------------------
+    ("q94_percent_of_total", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // share of each priority within its status: exact decimal sums at
+      // both levels, ONE double division at the end (identical on both
+      // engines); the window re-aggregates the grouped result (5 rows
+      // per status), not the base table
+      val grouped = Tables.t(s, dir, "orders")
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(sum($"o_totalprice".cast(DecimalType(12, 2)))
+          .cast(DecimalType(38, 2)).as("spend_dec"))
+      val w = Window.partitionBy($"o_orderstatus")
+      grouped.select($"o_orderstatus", $"o_orderpriority",
+          $"spend_dec".cast("double").as("spend"),
+          ($"spend_dec".cast("double")
+            / sum($"spend_dec").over(w).cast(DecimalType(38, 2)).cast("double"))
+            .as("share_of_status"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }, Some("""
+      WITH g AS (SELECT o_orderstatus, o_orderpriority,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS spend_dec
+        FROM orders GROUP BY 1, 2)
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(spend_dec AS DOUBLE) AS spend,
+        CAST(spend_dec AS DOUBLE) /
+          CAST(CAST(sum(spend_dec) OVER (PARTITION BY o_orderstatus) AS DECIMAL(38,2)) AS DOUBLE)
+          AS share_of_status
+      FROM g ORDER BY o_orderstatus, o_orderpriority""")),
+
+    // ----- aggregate: exact weighted average -------------------------------
+    ("q95_weighted_avg", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // discount-weighted price per flag: sum(w*x)/sum(w) from exact
+      // decimal products — the deterministic form of avg() with weights
+      val wgt = $"l_quantity".cast(DecimalType(12, 2))
+      val x = $"l_extendedprice".cast(DecimalType(12, 2))
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(wgt * x).cast(DecimalType(38, 4)).cast("double").as("swx"),
+          sum(wgt).cast(DecimalType(38, 2)).cast("double").as("sw"))
+        .select($"l_returnflag", ($"swx" / $"sw").as("weighted_avg_price"),
+          $"swx".as("sum_wx"), $"sw".as("sum_w"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      WITH a AS (SELECT l_returnflag,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS DOUBLE) AS swx,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sw
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, swx / sw AS weighted_avg_price,
+        swx AS sum_wx, sw AS sum_w
+      FROM a ORDER BY l_returnflag""")),
+
+    // ----- window: rank with ties (vs row_number's arbitrary pick) ---------
+    ("q96_rank_with_ties", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // top quantities per flag INCLUDING ties: rank() keeps all rows of
+      // a tied value, so the cut is value-deterministic where a
+      // row_number cut would depend on the tie-break — counts per
+      // (flag, quantity) keep the output compact
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity".desc)
+      Tables.t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity",
+          rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        .filter($"rnk" <= 5)
+        .groupBy($"l_returnflag", $"l_quantity", $"rnk", $"drnk")
+        .agg(count(lit(1)).as("n_rows"))
+        .select($"l_returnflag", $"l_quantity", $"rnk".cast("long").as("rnk"),
+          $"drnk".cast("long").as("drnk"), $"n_rows")
+        .orderBy("l_returnflag", "rnk")
+    }, Some("""
+      WITH r AS (SELECT l_returnflag, l_quantity,
+        rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+        dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
+        FROM lineitem)
+      SELECT l_returnflag, l_quantity, rnk, drnk, count(*) AS n_rows
+      FROM r WHERE rnk <= 5
+      GROUP BY 1, 2, 3, 4 ORDER BY l_returnflag, rnk""")),
+
     // ----- semi-structured: JSON construct → parse round trip -------------
     ("q87_json_roundtrip", (s: SparkSession, dir: String) => {
       import s.implicits._
