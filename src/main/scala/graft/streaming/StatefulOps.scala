@@ -82,6 +82,43 @@ object StatefulOps {
       .transformWithState(new RunningStatsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
+  /** RunningStatsProcessor warm-started from a batch snapshot: the
+    * migration hand-off pattern — backfill computes per-key totals once
+    * in batch, the stream continues from them instead of recounting
+    * history. handleInitialState seeds each key's ValueState before the
+    * first batch touches it. */
+  class WarmStartStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, KeyedEvent, UserStats, UserStats] {
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: UserStats,
+                                    timers: TimerValues): Unit =
+      agg.update((initial.n_events, initial.total_value))
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+                                 timers: TimerValues): Iterator[UserStats] = {
+      var (n, sum) = if (agg.exists) agg.get else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      agg.update((n, sum))
+      Iterator.single(UserStats(key, n, sum))
+    }
+  }
+
+  /** Running per-user stats continuing from `snapshot` (a batch
+    * backfill's per-user totals). */
+  def runningUserStatsFrom(events: Dataset[KeyedEvent],
+                           snapshot: Dataset[UserStats]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new WarmStartStatsProcessor,
+        TimeMode.None(), OutputMode.Update(), snapshot.groupByKey(_.user_id))
+  }
+
   case class RecentEvents(user_id: Long, event_ids: Seq[Long])
 
   /** Bounded per-key event buffer on ListState — the state shape the

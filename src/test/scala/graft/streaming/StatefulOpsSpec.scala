@@ -191,6 +191,27 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState warm-starts from a batch snapshot (initial state)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      // batch backfill says user 10 already has 5 events / 50.0 total
+      val snapshot = Seq(UserStats(10L, 5L, 50.0)).toDS()
+      val in = MemoryStream[KeyedEvent]
+      val q = StatefulOps.runningUserStatsFrom(in.toDS(), snapshot)
+        .writeStream.format("memory").queryName("tws_warm")
+        .outputMode("update").start()
+      try {
+        in.addData(KeyedEvent("a", 1L, 10L, 2.5), KeyedEvent("b", 2L, 20L, 1.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_warm").as[UserStats].collect()
+        .map(s => s.user_id -> s).toMap
+      // warm-started: 5+1 events, 50.0+2.5 total; cold key starts at zero
+      assert(got(10L) == UserStats(10L, 6L, 52.5))
+      assert(got(20L) == UserStats(20L, 1L, 1.0))
+    }
+  }
+
   test("transformWithState running stats accumulate across batches") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
