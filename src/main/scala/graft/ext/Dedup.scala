@@ -251,4 +251,46 @@ object Dedup {
         graft.functions.ArrayJaccard.sortedLongJaccard(col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin-family candidate rule): two sets with Jaccard ≥ t must share
+    * a token within each other's first |x| − ceil(t·|x|) + 1 tokens under
+    * one global canonical order (J ≥ t ⇒ |x∩y| ≥ t·|x|, so if all common
+    * tokens sat past the prefix at most ceil(t·|x|) − 1 would remain —
+    * pigeonhole). Unlike bucket blocking (`ngramJaccardPairs`), no
+    * qualifying pair can be missed, at any corpus shape.
+    *
+    * Canonical order = ascending document frequency (rarest first, ties
+    * by token value): prefixes carry the rarest tokens, so the candidate
+    * equi-join on prefix tokens collides mostly where real similarity
+    * exists. Scale shape: token-frequency count (one narrow agg), a
+    * per-doc window to slice prefixes, the candidate self-join on the
+    * prefix token (hash-partitioned by token — the frequent tokens that
+    * would explode a join never enter a prefix), then the two-pointer
+    * SortedLongJaccard verify over the sorted gram arrays.
+    *
+    * `docs` needs (id, grams) with grams SORTED DISTINCT longs. */
+  def prefixFilterPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("id"), explode(col("grams")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val wSz = Window.partitionBy(col("id"))
+    val pref = toks.join(freq, Seq("tok"))
+      .withColumn("pos", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1)
+      .select(col("id"), col("tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val ga = docs.select(col("id").as("id_a"), col("grams").as("g_a"))
+    val gb = docs.select(col("id").as("id_b"), col("grams").as("g_b"))
+    cand.join(ga, Seq("id_a")).join(gb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.ArrayJaccard.sortedLongJaccard(col("g_a"), col("g_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

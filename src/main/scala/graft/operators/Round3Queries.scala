@@ -702,6 +702,40 @@ object Round3Queries {
       FROM r WHERE rnk <= 5
       GROUP BY 1, 2, 3, 4 ORDER BY l_returnflag, rnk""")),
 
+    // ----- dedup: EXACT set-similarity join via prefix filtering -----------
+    ("q97_dedup_prefix_filter", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // recall-lossless near-dup pairs (vs q23's heuristic bucket
+      // blocking): prefix filtering guarantees every pair with
+      // Jaccard >= t is produced — see ext.Dedup.prefixFilterPairs
+      val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
+        $"doc_id".as("id"),
+        TA.charNgramInts($"text", 3).as("grams")) // sorted distinct longs
+      graft.ext.Dedup.prefixFilterPairs(docs, threshold = 0.55)
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+        list_sort(list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+          i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 1114112 + ascii(substr(text, i + 1, 1))) * 1114112 + ascii(substr(text, i + 2, 1))))) AS grams
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(grams) AS tok FROM d),
+      f AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+      ord AS (SELECT doc_id, tok,
+          row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS pos,
+          count(*) OVER (PARTITION BY doc_id) AS sz
+        FROM tok JOIN f USING (tok)),
+      pref AS (SELECT doc_id, tok FROM ord
+        WHERE pos <= sz - CAST(ceil(0.55 * sz) AS BIGINT) + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      verified AS (SELECT id_a, id_b,
+          len(list_intersect(da.grams, db.grams)) / len(list_distinct(list_concat(da.grams, db.grams))) AS jaccard
+        FROM cand
+        JOIN d da ON da.doc_id = id_a
+        JOIN d db ON db.doc_id = id_b)
+      SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.55
+      ORDER BY id_a, id_b""")),
+
     // ----- semi-structured: JSON construct → parse round trip -------------
     ("q87_json_roundtrip", (s: SparkSession, dir: String) => {
       import s.implicits._

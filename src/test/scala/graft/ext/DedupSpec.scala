@@ -132,4 +132,23 @@ class DedupSpec extends AnyFunSuite {
       assert(maxH * a <= Long.MaxValue - b, s"a*h+b overflows for seed $s")
     }
   }
+
+  test("prefixFilterPairs is exact: equals the all-pairs Jaccard join") {
+    import org.apache.spark.sql.functions._
+    import graft.{Tables, TestSpark}
+    val docs = Tables.t(spark, TestSpark.Sf, "documents").select(
+      col("doc_id").as("id"),
+      TextAnalysis.charNgramInts(col("text"), 3).as("grams"))
+    val t = 0.4 // low threshold -> more pairs -> stronger exactness check
+    val got = Dedup.prefixFilterPairs(docs, t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: brute-force all-pairs verify, no filtering at all
+    val l = docs.select(col("id").as("id_a"), col("grams").as("g_a"))
+    val r = docs.select(col("id").as("id_b"), col("grams").as("g_b"))
+    val truth = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.ArrayJaccard.sortedLongJaccard(col("g_a"), col("g_b")) >= t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == truth)
+    assert(truth.nonEmpty, "test corpus should contain near-dups")
+  }
 }
