@@ -272,18 +272,28 @@ object Dedup {
     * `docs` needs (id, grams) with grams SORTED DISTINCT longs. */
   def prefixFilterPairs(docs: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("id"), explode(col("grams")).as("tok"))
+    // sz travels with the explode (grams are already distinct, so the
+    // array size IS the set size — no second window needed)
+    val toks = docs.select(col("id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
-    val wSz = Window.partitionBy(col("id"))
     val pref = toks.join(freq, Seq("tok"))
       .withColumn("pos", row_number().over(wOrd))
-      .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1)
-      .select(col("id"), col("tok"))
+      .select(col("id"), col("tok"), col("sz"), col("pos"))
+    // two more PPJoin pruning rules applied inside the join condition:
+    // length filter — J ≥ t forces t·|x| ≤ |y|; positional filter — a
+    // token at positions (i, j) caps the achievable overlap at
+    // 1 + min(|x|−i, |y|−j), which must reach the required overlap
+    // α = ceil(t/(1+t)·(|x|+|y|))
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
+          && col("b.sz") >= ceil(lit(threshold) * col("a.sz"))
+          && col("b.sz") * lit(threshold) <= col("a.sz")
+          && lit(1) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+            >= ceil(lit(threshold / (1 + threshold)) * (col("a.sz") + col("b.sz"))))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val ga = docs.select(col("id").as("id_a"), col("grams").as("g_a"))

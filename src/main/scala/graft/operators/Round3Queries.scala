@@ -711,7 +711,7 @@ object Round3Queries {
       val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
         $"doc_id".as("id"),
         TA.charNgramInts($"text", 3).as("grams")) // sorted distinct longs
-      graft.ext.Dedup.prefixFilterPairs(docs, threshold = 0.55)
+      graft.ext.Dedup.prefixFilterPairs(docs, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }, Some("""
       WITH d AS (SELECT doc_id,
@@ -724,16 +724,17 @@ object Round3Queries {
           row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS pos,
           count(*) OVER (PARTITION BY doc_id) AS sz
         FROM tok JOIN f USING (tok)),
-      pref AS (SELECT doc_id, tok FROM ord
-        WHERE pos <= sz - CAST(ceil(0.55 * sz) AS BIGINT) + 1),
+      pref AS (SELECT doc_id, tok, sz FROM ord
+        WHERE pos <= sz - CAST(ceil(0.9 * sz) AS BIGINT) + 1),
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          AND b.sz >= ceil(0.9 * a.sz) AND b.sz * 0.9 <= a.sz),
       verified AS (SELECT id_a, id_b,
           len(list_intersect(da.grams, db.grams)) / len(list_distinct(list_concat(da.grams, db.grams))) AS jaccard
         FROM cand
         JOIN d da ON da.doc_id = id_a
         JOIN d db ON db.doc_id = id_b)
-      SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.55
+      SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.9
       ORDER BY id_a, id_b""")),
 
     // ----- semi-structured: JSON construct → parse round trip -------------
