@@ -104,4 +104,32 @@ class PlanQualitySpec extends AnyFunSuite {
     // codegen stages render as "*(n) Operator" in the compact plan string
     assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen span in:\n$plan")
   }
+
+  test("q77 lateral top-k runs WindowGroupLimit map-side before the shuffle") {
+    val df = SparkEntry.queries("q77_lateral_topk")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = explained(df)
+    // the Partial group-limit (before the exchange) is what bounds the
+    // shuffle to <= k rows per key at 100 TB
+    assert(plan.contains("WindowGroupLimit") &&
+      (plan.contains("Partial") || plan.contains("row_number(), 2")), plan)
+  }
+
+  test("q92 content checksum is one scan + two-phase aggregate (no sort, no join)") {
+    val df = SparkEntry.queries("q92_content_checksum")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = explained(df).split("== Initial Plan ==").head
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    // the only sort is the 16-row output ORDER BY; the scan feeds the
+    // partial aggregate directly
+    assert(plan.contains("FileScan parquet"), plan)
+  }
+
+  test("q97 prefix-filter candidate join is an equi-join on the prefix token") {
+    val df = SparkEntry.queries("q97_dedup_prefix_filter")(spark, TestSpark.Sf)
+    val plan = explained(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
