@@ -63,6 +63,66 @@ object Multimodal {
       }
     }(mediaFeatureEnc)
 
+  case class AudioWindow(doc_id: Long, win_idx: Int, n_samples: Int, energy: Long)
+
+  implicit val audioWindowEnc: Encoder[AudioWindow] = Encoders.product[AudioWindow]
+
+  /** 1D-signal windowing (the audio shape): treat the payload as a
+    * sample stream and emit overlapping windows of `winSize` bytes every
+    * `hop` bytes with a per-window energy statistic. The decode to real
+    * PCM is part of the stubbed codec; the window/hop geometry, partial
+    * final window, and per-partition batching are the production
+    * dataflow. */
+  def audioWindows(ds: Dataset[MediaDoc], winSize: Int = 256,
+                   hop: Int = 128): Dataset[AudioWindow] = {
+    require(winSize > 0 && hop > 0, s"winSize/hop must be positive: $winSize/$hop")
+    ds.mapPartitions { it =>
+      it.flatMap { d =>
+        val n = d.payload.length
+        val starts = if (n == 0) Seq(0) else 0 until math.max(1, n) by hop
+        starts.iterator.zipWithIndex.collect {
+          case (off, idx) if off < n || n == 0 =>
+            val end = math.min(n, off + winSize)
+            var e = 0L
+            var i = off
+            while (i < end) { val v = (d.payload(i) & 0xff) - 128; e += v.toLong * v; i += 1 }
+            AudioWindow(d.doc_id, idx, math.max(0, end - off), e)
+        }
+      }
+    }(audioWindowEnc)
+  }
+
+  case class FrameScore(doc_id: Long, frame_idx: Int, batch_id: Long,
+                        batch_size: Int, score: Double)
+
+  implicit val frameScoreEnc: Encoder[FrameScore] = Encoders.product[FrameScore]
+
+  /** Batched-inference plumbing: frames are grouped into fixed-size
+    * batches WITHIN each partition and the "model" is invoked once per
+    * batch — the shape every embedding/caption model needs at scale
+    * (per-row invocation wastes the accelerator; cross-partition
+    * batching would shuffle). The stub model is a deterministic
+    * function of the batch; a production build binds the real model in
+    * the partition setup and calls it with the same batch signature.
+    * Emitted rows carry (batch_id, batch_size) so tests can assert the
+    * batching contract itself. */
+  def scoreFramesBatched(ds: Dataset[MediaFeature], batchSize: Int): Dataset[FrameScore] = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    ds.mapPartitions { it =>
+      // per-partition setup: bind the model once here
+      var batchId = -1L
+      it.grouped(batchSize).flatMap { batch =>
+        batchId += 1
+        // stub "model": one call per BATCH (this is the contract);
+        // deterministic per-frame score independent of batch placement
+        batch.map { f =>
+          FrameScore(f.doc_id, f.frame_idx, batchId, batch.size,
+            (f.checksum % 10000L).toDouble / 10000.0)
+        }
+      }
+    }(frameScoreEnc)
+  }
+
   /** Resize plan for a frame: fit (width, height) inside a maxDim box
     * preserving aspect ratio, never upscaling. The geometry is the real
     * production math; applying it to pixels is part of the stubbed codec

@@ -54,4 +54,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2) == ((3, 50L, 40L)))   // inside the box: untouched
     assert(got(3) == ((4, 64L, 1L)))    // extreme aspect clamps to >= 1
   }
+
+  test("audioWindows: hop/window geometry, partial tail, empty payload") {
+    import Multimodal._
+    val docs = spark.createDataset(Seq(
+      MediaDoc(1L, "audio/x-fake", 300, Array.fill(300)(7.toByte)),
+      MediaDoc(2L, "audio/x-fake", 0, Array.empty[Byte])))(Multimodal.mediaDocEnc)
+    val wins = Multimodal.audioWindows(docs, winSize = 256, hop = 128)
+      .collect().groupBy(_.doc_id)
+    // 300 bytes, hop 128 -> starts 0,128,256: sizes 256, 172, 44
+    val w1 = wins(1L).sortBy(_.win_idx)
+    assert(w1.map(_.n_samples).toSeq == Seq(256, 172, 44))
+    // constant signal -> identical per-sample energy, scaled by length
+    val perSample = (7 - 128).toLong * (7 - 128).toLong
+    assert(w1.map(_.energy).toSeq == w1.map(_.n_samples.toLong * perSample).toSeq)
+    // empty payload still yields one (empty) window, not a dropped doc
+    assert(wins(2L).map(w => (w.win_idx, w.n_samples, w.energy)).toSeq == Seq((0, 0, 0L)))
+  }
+
+  test("scoreFramesBatched: one batch per batchSize frames, scores placement-independent") {
+    import Multimodal._
+    val docs = Multimodal.toMediaDocs(
+      graft.Tables.t(spark, graft.TestSpark.Sf, "documents").limit(40),
+      "doc_id", "text")
+    val frames = Multimodal.extractFeatures(docs.repartition(2))
+    val scored = Multimodal.scoreFramesBatched(frames, batchSize = 16).collect()
+    assert(scored.nonEmpty)
+    // batching contract: every batch except each partition's tail is full
+    val nFull = scored.count(_.batch_size == 16)
+    assert(nFull > 0, "expected at least one full batch")
+    assert(scored.forall(s => s.batch_size <= 16 && s.batch_size > 0))
+    // score is a pure function of the frame, not of batch placement
+    val again = Multimodal.scoreFramesBatched(
+      Multimodal.extractFeatures(docs.repartition(5)), batchSize = 7).collect()
+    def key(s: FrameScore) = (s.doc_id, s.frame_idx)
+    assert(scored.map(s => key(s) -> s.score).toMap == again.map(s => key(s) -> s.score).toMap)
+  }
 }
