@@ -737,6 +737,28 @@ object Round3Queries {
       SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.9
       ORDER BY id_a, id_b""")),
 
+    // ----- multimodal: audio windows → batched scoring (no SQL form) -------
+    ("q98_multimodal_audio_batch", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the 1D-signal pipeline end-to-end: payloads → hop/window frames
+      // (audioWindows) → per-partition fixed-size batches through the
+      // stubbed model (scoreFramesBatched). Deterministic values but a
+      // mapPartitions kernel with no SQL form — rows-only check, like
+      // q69.
+      val media = graft.ext.Multimodal.toMediaDocs(
+        Tables.spread(Tables.t(s, dir, "documents")).filter($"doc_id" < 200),
+        "doc_id", "text")
+      val frames = graft.ext.Multimodal.extractFeatures(media, frameEvery = 2)
+      val wins = graft.ext.Multimodal.audioWindows(media, winSize = 256, hop = 128)
+      val scored = graft.ext.Multimodal.scoreFramesBatched(frames, batchSize = 32)
+      scored.toDF()
+        .join(wins.toDF().groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"), sum($"energy").as("total_energy")),
+          Seq("doc_id"))
+        .select($"doc_id", $"frame_idx", $"score", $"n_windows", $"total_energy")
+        .orderBy("doc_id", "frame_idx")
+    }, None),
+
     // ----- semi-structured: JSON construct → parse round trip -------------
     ("q87_json_roundtrip", (s: SparkSession, dir: String) => {
       import s.implicits._
