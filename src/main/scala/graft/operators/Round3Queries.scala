@@ -737,6 +737,71 @@ object Round3Queries {
       SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.9
       ORDER BY id_a, id_b""")),
 
+    // ----- schema evolution: union across drifted schemas ------------------
+    ("q99_union_evolution", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // two vintages of the same feed: v2 added a column, v1 lacks it —
+      // unionByName(allowMissingColumns) null-fills instead of failing
+      // or silently mis-aligning by position (what positional UNION
+      // would do). The shape every long-lived ingestion hits.
+      val v1 = Tables.t(s, dir, "orders").filter($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val v2 = Tables.t(s, dir, "orders").filter($"o_orderkey" % 2 === 1)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderpriority") // the added column
+      v1.unionByName(v2, allowMissingColumns = true)
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          coalesce($"o_orderpriority", lit("<missing>")).as("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+        CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE '<missing>' END
+          AS o_orderpriority
+      FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")),
+
+    // ----- events: first/last-touch attribution ----------------------------
+    ("q100_attribution", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // for each purchasing user: attribute the first purchase to the
+      // first and last non-purchase event that preceded it
+      val ev = Tables.t(s, dir, "events")
+        .select($"user_id", $"event_type", date_trunc("second", $"ts").as("tsec"),
+          $"event_id")
+      val firstBuy = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"tsec").as("t_buy"))
+      val touches = ev.filter($"event_type" =!= "purchase")
+        .join(firstBuy, Seq("user_id")).filter($"tsec" < $"t_buy")
+      // deterministic pick: earliest/latest by (tsec, event_id)
+      val w = Window.partitionBy($"user_id")
+      val wAsc = w.orderBy($"tsec".asc, $"event_id".asc)
+      val wDesc = w.orderBy($"tsec".desc, $"event_id".desc)
+      touches
+        .withColumn("rn_first", row_number().over(wAsc))
+        .withColumn("rn_last", row_number().over(wDesc))
+        .filter($"rn_first" === 1 || $"rn_last" === 1)
+        .groupBy($"user_id", $"t_buy")
+        .agg(
+          max(when($"rn_first" === 1, $"event_type")).as("first_touch"),
+          max(when($"rn_last" === 1, $"event_type")).as("last_touch"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type, date_trunc('second', ts) AS tsec,
+          event_id FROM events),
+      fb AS (SELECT user_id, min(tsec) AS t_buy FROM ev
+        WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS (SELECT ev.*, t_buy FROM ev JOIN fb ON ev.user_id = fb.user_id
+        WHERE ev.event_type <> 'purchase' AND tsec < t_buy),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC) AS rn_first,
+          row_number() OVER (PARTITION BY user_id ORDER BY tsec DESC, event_id DESC) AS rn_last
+        FROM t)
+      SELECT user_id, t_buy,
+        max(CASE WHEN rn_first = 1 THEN event_type END) AS first_touch,
+        max(CASE WHEN rn_last = 1 THEN event_type END) AS last_touch
+      FROM r WHERE rn_first = 1 OR rn_last = 1
+      GROUP BY user_id, t_buy ORDER BY user_id""")),
+
     // ----- multimodal: audio windows → batched scoring (no SQL form) -------
     ("q98_multimodal_audio_batch", (s: SparkSession, dir: String) => {
       import s.implicits._
