@@ -802,6 +802,57 @@ object Round3Queries {
       FROM r WHERE rn_first = 1 OR rn_last = 1
       GROUP BY user_id, t_buy ORDER BY user_id""")),
 
+    // ----- embeddings: int8 quantization profile ---------------------------
+    ("q101_embedding_quantize", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import graft.functions.Lambda
+      // per-vector symmetric int8 quantization (scale = maxabs/127) —
+      // the 4× storage cut an ANN index takes at 100 TB. Entirely
+      // map-side: higher-order exprs, no explode, no shuffle before the
+      // final ORDER BY. Halves round via floor(v + 0.5) — one rule both
+      // engines share; integer-valued doubles keep every sum exact.
+      // maxabs is bound once per row (Lambda.bind1) — a raw capture
+      // would re-evaluate the array_max per element (O(n²)).
+      val qvec = transform($"embedding", x => round(x.cast("double") * 10000))
+      Tables.spread(Tables.t(s, dir, "embeddings"))
+        .select($"vec_id", qvec.as("qv"))
+        .select($"vec_id", $"qv",
+          array_max(transform($"qv", x => abs(x))).as("maxabs"))
+        .select($"vec_id",
+          size($"qv").cast("long").as("n_dims"),
+          ($"maxabs" / 127.0).as("scale8"),
+          Lambda.bind1(greatest($"maxabs", lit(1.0))) { m =>
+            aggregate(
+              transform($"qv", x => floor(x * 127.0 / m + 0.5)),
+              lit(0.0), (acc, q) => acc + q)
+          }.as("sum_q8"),
+          Lambda.bind1(greatest($"maxabs", lit(1.0))) { m =>
+            aggregate(
+              transform($"qv", x => abs(floor(x * 127.0 / m + 0.5))),
+              lit(0.0), (acc, q) => acc + q)
+          }.as("sum_abs_q8"),
+          Lambda.bind1(greatest($"maxabs", lit(1.0))) { m =>
+            array_max(transform($"qv", x => abs(floor(x * 127.0 / m + 0.5))))
+          }.cast("long").as("max_abs_q8"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH p AS (SELECT vec_id,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS qv
+        FROM embeddings),
+      m AS (SELECT vec_id, qv,
+          list_aggregate(list_transform(qv, x -> abs(x)), 'max') AS maxabs
+        FROM p),
+      q AS (SELECT vec_id, qv, maxabs,
+          list_transform(qv, x -> floor(x * 127.0 / greatest(maxabs, 1.0) + 0.5)) AS q8
+        FROM m)
+      SELECT vec_id,
+        len(qv) AS n_dims,
+        maxabs / 127.0 AS scale8,
+        list_aggregate(q8, 'sum') AS sum_q8,
+        list_aggregate(list_transform(q8, x -> abs(x)), 'sum') AS sum_abs_q8,
+        CAST(list_aggregate(list_transform(q8, x -> abs(x)), 'max') AS BIGINT) AS max_abs_q8
+      FROM q ORDER BY vec_id""")),
+
     // ----- multimodal: audio windows → batched scoring (no SQL form) -------
     ("q98_multimodal_audio_batch", (s: SparkSession, dir: String) => {
       import s.implicits._
