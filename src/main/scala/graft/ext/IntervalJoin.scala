@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  private def bucketOf(c: Column, width: Double): Column =
+    floor(c / width).cast("long")
+
+  /** Buckets covered by the half-open interval [lo, hi): the hi bucket
+    * is excluded when hi sits exactly on a bucket boundary. */
+  private def coveredBuckets(lo: Column, hi: Column, width: Double): Column =
+    sequence(bucketOf(lo, width),
+      greatest(bucketOf(lo, width), bucketOf(hi, width) -
+        when(hi === floor(hi / width) * width, 1L).otherwise(0L)))
+
   /** Inner-join `points` to every interval containing them:
     * lo <= point < hi. `points`/`intervals` may carry any payload
     * columns; the three coordinate columns must be numeric. */
@@ -29,18 +39,34 @@ object IntervalJoin {
                     intervals: DataFrame, loCol: String, hiCol: String,
                     bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
-    val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
-    // intervals cover [lo, hi): last bucket is the one holding the
-    // largest representable value BELOW hi, hence the half-open nudge
-    val i = intervals
-      .withColumn("__bucket",
-        explode(sequence(bucketOf(col(loCol)),
-          greatest(bucketOf(col(loCol)), bucketOf(col(hiCol)) -
-            when(col(hiCol) === floor(col(hiCol) / bucketWidth) * bucketWidth, 1L)
-              .otherwise(0L)))))
+    val p = points.withColumn("__bucket", bucketOf(col(pointCol), bucketWidth))
+    val i = intervals.withColumn("__bucket",
+      explode(coveredBuckets(col(loCol), col(hiCol), bucketWidth)))
     p.join(i, Seq("__bucket"))
       .filter(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+
+  /** Inner-join two interval tables on half-open overlap:
+    * max(lLo, rLo) < min(lHi, rHi). Both sides explode to their covered
+    * buckets and equi-join on the bucket id; a pair overlapping several
+    * shared buckets would match once per bucket, so the join keeps only
+    * the match in the bucket that contains the overlap's START
+    * (max(lLo, rLo)) — each qualifying pair is emitted exactly once
+    * with no post-join distinct (which would shuffle the payload).
+    * Column names must be distinct across the two inputs. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val l = left.withColumn("__bucket",
+      explode(coveredBuckets(col(lLo), col(lHi), bucketWidth)))
+    val r = right.withColumn("__bucket",
+      explode(coveredBuckets(col(rLo), col(rHi), bucketWidth)))
+    l.join(r, Seq("__bucket"))
+      .filter(greatest(col(lLo), col(rLo)) < least(col(lHi), col(rHi)))
+      .filter(col("__bucket") ===
+        floor(greatest(col(lLo), col(rLo)) / bucketWidth).cast("long"))
       .drop("__bucket")
   }
 }

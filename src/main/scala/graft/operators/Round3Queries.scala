@@ -853,6 +853,43 @@ object Round3Queries {
         CAST(list_aggregate(list_transform(q8, x -> abs(x)), 'max') AS BIGINT) AS max_abs_q8
       FROM q ORDER BY vec_id""")),
 
+    // ----- join: interval-overlap via bucketed equi-join rewrite -----------
+    ("q102_interval_overlap", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // per-user daily activity spans × 90-minute maintenance windows
+      // every 4 h: which windows touched whose activity. A pure overlap
+      // predicate (nested-loop territory) run through the
+      // IntervalJoin.intervalOverlap bucket rewrite — each qualifying
+      // pair emitted exactly once, no post-join distinct.
+      val spans = Tables.t(s, dir, "events")
+        .select($"user_id",
+          unix_timestamp(date_trunc("second", $"ts")).cast("double").as("sec"),
+          to_date(date_trunc("day", $"ts")).as("day"))
+        .groupBy($"user_id", $"day")
+        .agg(min($"sec").as("l_lo"), (max($"sec") + 1.0).as("l_hi"))
+      val windows = s.range(0, 180).select(
+        $"id".as("win_id"),
+        (lit(1704067200.0) + $"id" * 14400.0).as("r_lo"),
+        (lit(1704067200.0) + $"id" * 14400.0 + 5400.0).as("r_hi"))
+      IntervalJoin.intervalOverlap(spans, "l_lo", "l_hi",
+          windows, "r_lo", "r_hi", bucketWidth = 14400.0)
+        .groupBy($"win_id")
+        .agg(count(lit(1)).as("n_user_days"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy("win_id")
+    }, Some("""
+      WITH spans AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          min(CAST(epoch(date_trunc('second', ts)) AS DOUBLE)) AS l_lo,
+          max(CAST(epoch(date_trunc('second', ts)) AS DOUBLE)) + 1.0 AS l_hi
+        FROM events GROUP BY 1, 2),
+      win AS (SELECT i AS win_id,
+          1704067200.0 + i * 14400.0 AS r_lo,
+          1704067200.0 + i * 14400.0 + 5400.0 AS r_hi
+        FROM unnest(range(0, 180)) AS t(i))
+      SELECT win_id, count(*) AS n_user_days, count(DISTINCT user_id) AS n_users
+      FROM spans JOIN win ON greatest(l_lo, r_lo) < least(l_hi, r_hi)
+      GROUP BY win_id ORDER BY win_id""")),
+
     // ----- multimodal: audio windows → batched scoring (no SQL form) -------
     ("q98_multimodal_audio_batch", (s: SparkSession, dir: String) => {
       import s.implicits._

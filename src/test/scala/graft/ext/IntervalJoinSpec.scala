@@ -52,4 +52,32 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("intervalOverlap matches the naive overlap join, once per pair, any width") {
+    // overlapping sessions (left) x maintenance windows (right)
+    val l = Seq((1L, 0.0, 100.0), (2L, 50.0, 260.0), (3L, 300.0, 301.0), (4L, 500.0, 600.0))
+      .toDF("lid", "l_lo", "l_hi")
+    val r = Seq((10L, 90.0, 210.0), (11L, 200.0, 300.5), (12L, 300.0, 310.0), (13L, 601.0, 700.0))
+      .toDF("rid", "r_lo", "r_hi")
+    val naive = l.join(r, greatest($"l_lo", $"r_lo") < least($"l_hi", $"r_hi"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    for (w <- Seq(7.0, 50.0, 1000.0)) {
+      val got = IntervalJoin.intervalOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", w)
+        .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"width $w: $got vs $naive")
+      // exactly once per pair even when many buckets are shared
+      assert(got.distinct == got)
+    }
+    assert(naive.nonEmpty && naive.contains((2L, 10L)) && naive.contains((3L, 12L)))
+  }
+
+  test("intervalOverlap plans as an equi-join on the bucket, not a nested loop") {
+    val l = Tables.t(spark, TestSpark.Sf, "orders")
+      .select($"o_orderkey", ($"o_totalprice" - 1000.0).as("l_lo"), ($"o_totalprice" + 1000.0).as("l_hi"))
+    val r = spark.range(0, 30).select($"id".as("band_id"),
+      ($"id" * 20000.0 - 5000.0).as("r_lo"), ($"id" * 20000.0 + 25000.0).as("r_hi"))
+    val plan = IntervalJoin.intervalOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 20000.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
 }
