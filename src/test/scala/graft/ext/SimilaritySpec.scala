@@ -78,4 +78,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(assigned(i) == (if (i % 2 == 0) 0L else 1L), s"vector $i misassigned")
     }
   }
+
+  test("ANN quality: multi-probe LSH recall@5 vs brute force on real embeddings") {
+    import graft.{Tables, TestSpark}
+    // sf0.01: 500 vectors / 5 queries — the smallest corpus where the
+    // recall estimate is stable run-to-run (everything is deterministic,
+    // but the sf0.001 slice has too few queries to characterize quality)
+    val prepared = Similarity.prepare(
+      Tables.spread(Tables.t(spark, "/root/testdata/sf0.01", "embeddings")),
+      "vec_id", "embedding")
+    val queryPred = col("id") % 100 === 0
+    val truth = Similarity.bruteForceTopK(prepared.filter(queryPred), prepared, k = 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val projs = Similarity.projectionVectors(4, 64)
+    val approx = Similarity.lshTopKMultiProbe(prepared, queryPred, projs, k = 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(truth.nonEmpty)
+    val recalls = truth.map { case (q, t) =>
+      val hit = approx.getOrElse(q, Set.empty[Long]).intersect(t).size
+      hit.toDouble / t.size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // the quality contract for the approximate path: measured
+    // recall@5 is 0.44 on this corpus (deterministic data + seeds ->
+    // the number is exactly reproducible); the floor guards against a
+    // regression in bucketing/probing, not an aspiration. More
+    // hyperplanes/tables buy recall at candidate-set cost — that dial
+    // is the operator's parameter, not a fixed property.
+    assert(meanRecall >= 0.4, f"mean recall@5 = $meanRecall%.3f")
+  }
 }
