@@ -25,6 +25,11 @@ object Round3Queries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  // top-level so Spark can derive product encoders (q103)
+  case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                   o_totalprice: Double)
+  case class CustSummary(o_custkey: Long, n_big: Long, max_price: Double)
+
   private def dsum(c: Column, scale: Int): Column =
     sum(c).cast(DecimalType(38, scale)).cast("double")
 
@@ -889,6 +894,60 @@ object Round3Queries {
       SELECT win_id, count(*) AS n_user_days, count(DISTINCT user_id) AS n_users
       FROM spans JOIN win ON greatest(l_lo, r_lo) < least(l_hi, r_hi)
       GROUP BY win_id ORDER BY win_id""")),
+
+    // ----- typed Dataset surface: case-class filter/map/groupByKey ---------
+    ("q103_typed_dataset_ops", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the Dataset[T] API end-to-end: typed filter → map → groupByKey/
+      // mapGroups with compile-time row types. Typed lambdas are opaque
+      // to Catalyst (no pushdown into them) — right where invariants
+      // matter more than the last bit of scan pruning; the oracle
+      // computes the same result relationally.
+      val ds = Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .as[Order]
+      ds.filter(o => o.o_totalprice > 200000.0 && o.o_orderstatus != "P")
+        .map(o => o.copy(o_totalprice = math.floor(o.o_totalprice)))
+        .groupByKey(_.o_custkey)
+        .mapGroups { (k, os) =>
+          var n = 0L
+          var mx = 0.0
+          os.foreach { o => n += 1; mx = math.max(mx, o.o_totalprice) }
+          CustSummary(k, n, mx)
+        }
+        .toDF()
+        .filter($"n_big" >= 2)
+        .orderBy("o_custkey")
+    }, Some("""
+      SELECT o_custkey, count(*) AS n_big, max(floor(o_totalprice)) AS max_price
+      FROM orders
+      WHERE o_totalprice > 200000.0 AND o_orderstatus <> 'P'
+      GROUP BY o_custkey HAVING count(*) >= 2
+      ORDER BY o_custkey""")),
+
+    // ----- semi-structured: CSV parse round trip ---------------------------
+    ("q104_csv_roundtrip", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // build a CSV line, parse it back typed with from_csv — the
+      // flat-file sibling of q87's JSON round trip (the reference's
+      // world is exactly this kind of delimited row shuttling)
+      val line = concat_ws(",", $"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast(DecimalType(12, 2)), $"o_orderpriority")
+      Tables.t(s, dir, "orders").filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", line.as("csv_line"))
+        .select($"o_orderkey",
+          from_csv($"csv_line",
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "k BIGINT, ck BIGINT, price DECIMAL(12,2), prio STRING"),
+            Map.empty[String, String]).as("p"))
+        .select($"o_orderkey", $"p.ck".as("ck"),
+          $"p.price".cast("double").as("price"), $"p.prio".as("prio"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey, o_custkey AS ck,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        o_orderpriority AS prio
+      FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")),
 
     // ----- multimodal: audio windows → batched scoring (no SQL form) -------
     ("q98_multimodal_audio_batch", (s: SparkSession, dir: String) => {
