@@ -20,4 +20,28 @@ object Exclusion {
 
   def filterExcluded(df: DataFrame, nameCol: String, patterns: Seq[String]): DataFrame =
     df.filter(excludePredicate(col(nameCol), patterns))
+
+  /** One LIKE pattern → an anchored regex with SQL LIKE semantics
+    * (`%` any sequence, `_` any single char, everything else literal) —
+    * the driver-side compilation of exactly what `Column.like` evaluates. */
+  def likeRegex(p: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    toLikePattern(p).foreach {
+      case '%' => sb.append(".*")
+      case '_' => sb.append('.')
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
+  }
+
+  /** Driver-side keep-predicate over table names (cmd/root.go:227-246).
+    * The work list is catalog metadata — at most thousands of short
+    * strings — so matching belongs on the driver: compiling the patterns
+    * once and filtering in-memory costs microseconds, where spinning a
+    * Spark job per name (or even one job for all names) costs scheduler
+    * round-trips that serialize a 10k-table catalog into 10k jobs. */
+  def compiledKeep(patterns: Seq[String]): String => Boolean = {
+    val compiled = patterns.map(likeRegex)
+    name => !compiled.exists(_.matcher(name).matches())
+  }
 }

@@ -68,16 +68,14 @@ object Migration {
     }
 
     /** Work list: configured custom tables, else full catalog minus
-      * exclusions (fetchTableMap, root.go:218-291). */
+      * exclusions (fetchTableMap, root.go:218-291). Exclusion matching is
+      * a compiled driver-side predicate — table names are metadata, not
+      * data, so this runs zero Spark jobs regardless of catalog size. */
     def workList: Seq[String] = {
       val all =
         if (cfg.tables.nonEmpty) cfg.tables.keys.toSeq
         else source.tableNames
-      val pred = (t: String) => {
-        import spark.implicits._
-        Exclusion.filterExcluded(Seq(t).toDF("table_name"), "table_name", cfg.exclude).count() == 1
-      }
-      if (cfg.exclude.isEmpty) all.sorted else all.filter(pred).sorted
+      all.filter(Exclusion.compiledKeep(cfg.exclude)).sorted
     }
 
     /** Phase 1: CREATE TABLE on the target (tablemeta.go:48-154). */

@@ -22,4 +22,33 @@ class ExclusionSpec extends AnyFunSuite {
     // empty pattern list keeps everything
     assert(Exclusion.filterExcluded(df, "table_name", Nil).count() == 5)
   }
+
+  test("compiledKeep parity: driver predicate == Column.like over generated names") {
+    // property-style sweep: every (name, pattern-set) pair must agree
+    // between the compiled driver-side predicate and the Spark Column
+    // predicate (same LIKE semantics incl. `_` single-char wildcard)
+    val names = Seq("log1", "log22", "logical", "audit_cswysk", "a_cswysk",
+      "keepme", "x", "", "log", "mylog", "l_g1", "t%strange", "dot.name")
+    val patternSets = Seq(
+      Seq("log*"), Seq("*_cswysk"), Seq("log1", "log2", "*_cswysk"),
+      Seq("l_g*"), Seq("*"), Seq("exact"), Nil, Seq("*log*"), Seq("x"))
+    for (pats <- patternSets) {
+      val keep = Exclusion.compiledKeep(pats)
+      val driverKept = names.filter(keep).toSet
+      val sparkKept = Exclusion.filterExcluded(names.toDF("table_name"), "table_name", pats)
+        .as[String].collect().toSet
+      assert(driverKept == sparkKept, s"patterns=$pats")
+    }
+  }
+
+  test("compiledKeep runs zero Spark jobs") {
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val keep = Exclusion.compiledKeep(Seq("log*", "*_tmp"))
+    val kept = (1 to 10000).map(i => s"table$i").filter(keep)
+    assert(kept.size == 10000)
+    assert(Seq("log_x", "y_tmp", "keep_me").filter(keep) == Seq("keep_me"))
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "work-list filtering must not submit Spark jobs")
+  }
 }
