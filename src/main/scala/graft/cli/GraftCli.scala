@@ -40,6 +40,9 @@ object GraftCli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
+      // per-table phase workers each submit jobs into a named pool; FAIR
+      // mode shares executors across in-flight tables (maxParallel model)
+      .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     Cancellation.installShutdownHook(spark) // Ctrl-C kills in-flight work (app.go:205-216)
     try Cancellation.interruptible(spark, s"graft-cli $cmd") { runCommand(spark, cfg, cmd) }

@@ -1,6 +1,10 @@
 package graft.cli
 
+import java.util.concurrent.Executors
+
 import scala.collection.mutable
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 import scala.util.{Failure, Success, Try}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -14,10 +18,13 @@ import graft.types.{ColumnMeta, TypeMapper}
 import graft.verify.CompareDb
 
 /** The full-migration pipeline (cmd/root.go:60-213 `mysql2pg`) as phased
-  * Spark jobs. Phases are sequential (as in the reference); intra-phase
-  * parallelism is the Spark scheduler (replacing the maxParallel semaphore,
-  * root.go:106-117), and per-phase failure totals (A4, root.go:166-209)
-  * are collected from Try results instead of a channel-fed counter loop.
+  * Spark jobs. Phases are sequential (as in the reference); WITHIN a phase
+  * the per-table work runs concurrently on a bounded worker pool — the
+  * reference's maxParallel goroutine semaphore (root.go:106-117,138-150)
+  * — so a catalog of many small tables overlaps its Spark jobs instead of
+  * serializing one job per table through the driver. Per-phase failure
+  * totals (A4, root.go:166-209) are collected from Try results instead of
+  * a channel-fed counter loop.
   *
   * I/O is abstracted so the same pipeline runs against live JDBC endpoints
   * (io.Jdbc) or test fixtures: `CatalogSource` supplies the
@@ -67,6 +74,35 @@ object Migration {
       (ddls.size.toLong, failed.toLong)
     }
 
+    /** Bounded concurrent map over per-table work — the reference's
+      * maxParallel goroutine semaphore (root.go:106-117,138-150) as a
+      * fixed thread pool submitting Spark jobs concurrently. Each worker
+      * thread pins its jobs to a named scheduler pool (under FAIR mode
+      * tables share executors evenly; local FIFO still overlaps jobs
+      * submitted from distinct threads) and to the graft job group so one
+      * cancel stops every in-flight table. Results keep `items` order. */
+    private def runConcurrently[A, B](items: Seq[A], poolName: String)(f: A => B): Seq[B] =
+      if (items.isEmpty) Seq.empty
+      else {
+        val parallelism = math.max(1, math.min(cfg.maxParallel, items.size))
+        val exec = Executors.newFixedThreadPool(parallelism, (r: Runnable) => {
+          val t = new Thread(r, s"graft-$poolName-worker")
+          t.setDaemon(true); t
+        })
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(exec)
+        try {
+          val futures = items.map { item =>
+            Future {
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", poolName)
+              spark.sparkContext.setJobGroup(Cancellation.GroupId,
+                s"graft $poolName", interruptOnCancel = true)
+              f(item)
+            }
+          }
+          Await.result(Future.sequence(futures), Duration.Inf)
+        } finally exec.shutdownNow()
+      }
+
     /** Work list: configured custom tables, else full catalog minus
       * exclusions (fetchTableMap, root.go:218-291). Exclusion matching is
       * a compiled driver-side predicate — table names are metadata, not
@@ -78,27 +114,34 @@ object Migration {
       all.filter(Exclusion.compiledKeep(cfg.exclude)).sorted
     }
 
-    /** Phase 1: CREATE TABLE on the target (tablemeta.go:48-154). */
+    /** Phase 1: CREATE TABLE on the target, one concurrent worker per
+      * table (`go db.TableCreate`, tablemeta.go:48-154; pool root.go:138-150).
+      * Drop failures are not counted (the reference ignores them — the
+      * table may simply not exist yet); create failures are. */
     def tableStructure(): Unit = phase("TableStructure") {
-      val ddls = workList.map { t =>
-        TypeMapper.createTableDdl(t, source.columns(t),
-          cfg.charInLength, cfg.useNvarchar2)
+      val wl = workList
+      val outcomes = runConcurrently(wl, "graft-ddl") { t =>
+        sink.executeDdl(s"""drop table if exists "${t.toLowerCase}" cascade""") // root.go:142
+        sink.executeDdl(TypeMapper.createTableDdl(t, source.columns(t),
+          cfg.charInLength, cfg.useNvarchar2))
       }
-      execAll(workList.map(t => s"""drop table if exists "${t.toLowerCase}" cascade""")) // root.go:142
-      execAll(ddls)
+      (wl.size.toLong, outcomes.count(_.isFailure).toLong)
     }
 
-    /** Phase 2: row data — transform stack (§1.2) + bulk write per table
-      * (preMigData + runMigration, root.go:294-516). */
+    /** Phase 2: row data — transform stack (§1.2) + bulk write, tables
+      * in flight concurrently up to maxParallel (preMigData +
+      * go runMigration, root.go:294-516). Each table's read→transform→
+      * write is one Spark job chain; overlapping them keeps the cluster
+      * busy when individual tables are too small to fill it. */
     def tableData(): Unit = phase("TableData") {
-      var failed = 0L
-      workList.foreach { t =>
+      val wl = workList
+      val outcomes = runConcurrently(wl, "graft-data") { t =>
         val df = ValueTransforms.scrubNulAll(
           ValueTransforms.lowercaseColumns(
             source.tableData(t, cfg.tables.getOrElse(t, Nil))))
-        if (sink.writeTable(t.toLowerCase, df).isFailure) failed += 1
+        sink.writeTable(t.toLowerCase, df)
       }
-      (workList.size.toLong, failed)
+      (wl.size.toLong, outcomes.count(_.isFailure).toLong)
     }
 
     /** Phase 3-6: DDL objects regenerated as DataFrame pipelines (S6-S10)
@@ -130,10 +173,12 @@ object Migration {
     }
 
     /** compareDb (cmd/compare.go): per-table count verification with the
-      * three outcome shapes (equal / unequal / missing target). */
+      * three outcome shapes (equal / unequal / missing target). Counts for
+      * distinct tables run concurrently — both sides of each comparison
+      * are independent jobs. */
     def compare(): DataFrame = {
       import spark.implicits._
-      val rows = workList.map { t =>
+      val rows = runConcurrently(workList, "graft-compare") { t =>
         val s = source.tableData(t).count()
         sink.rowCount(t.toLowerCase) match {
           case Some(c) => CompareDb.TableReport(t, s, c, "YES", if (s == c) "YES" else "NO")

@@ -16,8 +16,10 @@ class MigrationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def fixtureSource = new Migration.CatalogSource {
-    override def tableNames = Seq("t1", "log_skip")
+  private def fixtureSource = fixtureSourceFor(Seq("t1", "log_skip"))
+
+  private def fixtureSourceFor(names: Seq[String]) = new Migration.CatalogSource {
+    override def tableNames = names
     override def columns(table: String) = Seq(
       ColumnMeta("id", "int", None, Some(10), Some(0), "NO", None, 1),
       ColumnMeta("name", "varchar", Some(20L), None, None, "YES", None, 2))
@@ -36,17 +38,21 @@ class MigrationSpec extends AnyFunSuite {
     override def triggers = Seq(("tr1", "#c\nbody")).toDF("trigger_name", "action_statement")
   }
 
+  /** Thread-safe: phase workers call these concurrently. */
   private class RecordingSink extends Migration.MigrationSink {
     val ddl = mutable.ArrayBuffer[String]()
     val written = mutable.Map[String, Array[org.apache.spark.sql.Row]]()
     var failDdlContaining: Option[String] = None
     override def executeDdl(sql: String): Try[Unit] =
       if (failDdlContaining.exists(sql.contains)) Failure(new RuntimeException("boom"))
-      else { ddl += sql; Success(()) }
-    override def writeTable(table: String, df: DataFrame): Try[Long] =
-      Try { written(table) = df.collect(); written(table).length.toLong }
+      else synchronized { ddl += sql; Success(()) }
+    override def writeTable(table: String, df: DataFrame): Try[Long] = Try {
+      val rows = df.collect()
+      synchronized { written(table) = rows }
+      rows.length.toLong
+    }
     override def rowCount(table: String): Option[Long] =
-      written.get(table).map(_.length.toLong)
+      synchronized { written.get(table).map(_.length.toLong) }
   }
 
   private val cfg = GraftConfig(exclude = Seq("log*"),
@@ -102,6 +108,48 @@ class MigrationSpec extends AnyFunSuite {
     val sink2 = new RecordingSink
     val r2 = new Migration.Runner(spark, cfg, fixtureSource, sink2)
     assert(r2.run(dataOnly = true).collect().map(_.getString(0)).toSeq == Seq("TableData"))
+  }
+
+  test("tableData overlaps per-table jobs up to maxParallel (root.go:106-117)") {
+    val n = 4
+    // every writeTable parks on a barrier sized to the table count: the
+    // phase can only complete if all n tables are in flight AT ONCE — a
+    // sequential loop deadlocks the first write until the await times out
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val sink = new RecordingSink {
+      override def writeTable(table: String, df: DataFrame): Try[Long] = {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        super.writeTable(table, df)
+      }
+    }
+    val names = (1 to n).map(i => s"t$i")
+    val runner = new Migration.Runner(spark, cfg.copy(maxParallel = n),
+      fixtureSourceFor(names), sink)
+    runner.tableData()
+    val row = runner.report().collect().head
+    assert(row.getString(0) == "TableData")
+    assert(row.getLong(1) == n && row.getLong(2) == 0L) // same report shape, no failures
+    assert(sink.written.keySet == names.toSet)
+    // transforms still applied on every concurrent branch
+    assert(sink.written.values.forall(_.map(r => r.getString(1)).sorted.sameElements(Array("a", "b"))))
+  }
+
+  test("compare overlaps per-table count jobs (compare.go + maxParallel)") {
+    val n = 3
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val names = (1 to n).map(i => s"t$i")
+    val sink = new RecordingSink {
+      override def rowCount(table: String): Option[Long] = {
+        barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        super.rowCount(table)
+      }
+    }
+    val runner = new Migration.Runner(spark, cfg.copy(maxParallel = n),
+      fixtureSourceFor(names), sink)
+    runner.tableData()
+    val rep = runner.compare().collect()
+    assert(rep.map(_.getString(0)).toSeq == names) // ordered output preserved
+    assert(rep.forall(_.getString(4) == "YES"))
   }
 
   test("cli surface: version and help") {
