@@ -157,9 +157,9 @@ final class JdbcSink(spark: SparkSession, cfg: GraftConfig) extends Migration.Mi
   }
 
   override def writeTable(table: String, df: DataFrame): Try[Long] = Try {
-    // truncate-then-load for idempotence vs task retries (root.go:297)
-    Jdbc.writeTable(df, conn, table, truncate = true)
-    df.count()
+    // COPY bulk load, truncate-first (root.go:297,412); row count comes
+    // from the write itself — no second scan of the source
+    Jdbc.writeTableCopy(df, conn, table, truncate = true)
   }
 
   override def rowCount(table: String): Option[Long] = Try {

@@ -1,0 +1,119 @@
+package graft.io
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** K1 mode B — the reference's COPY bulk load (`pq.CopyIn`,
+  * cmd/root.go:408-511) as a Spark write path: each partition opens one
+  * transport, streams its rows in COPY text format (PgCopyText), and
+  * commits one transaction — so a failed task leaves no partial page and
+  * Spark's task retry re-runs the partition idempotently.
+  *
+  * The transport is an interface so the engine compiles and is fully
+  * testable without the PostgreSQL driver on the classpath; the pgjdbc
+  * binding below resolves CopyManager reflectively at runtime.
+  */
+trait CopyTransport extends AutoCloseable {
+  /** Open the connection + COPY stream for `copySql` (one txn). */
+  def begin(copySql: String): Unit
+  /** Stream one buffered chunk of encoded rows. */
+  def write(bytes: Array[Byte], off: Int, len: Int): Unit
+  /** End the COPY stream and commit the transaction. */
+  def commit(): Unit
+  /** Abort the COPY stream and roll the transaction back. */
+  def rollback(): Unit
+}
+
+/** Serializable factory: shipped to executors, opened once per partition. */
+trait CopyTransportFactory extends Serializable {
+  def open(): CopyTransport
+}
+
+object PgCopyLoad {
+
+  /** Stream `df` into `table` via COPY. Rows are encoded with
+    * `PgCopyText.encodeRow` and flushed in ~`flushBytes` chunks (the
+    * buffering the reference gets from pq's internal message buffer).
+    * Returns the number of rows written, counted by accumulator — no
+    * second scan of the input. */
+  def copyInto(df: DataFrame, table: String, factory: CopyTransportFactory,
+               flushBytes: Int = 64 * 1024): Long = {
+    val stmt = PgCopyText.copyStatement(table, df.columns.toSeq)
+    val rows = df.sparkSession.sparkContext.longAccumulator("graft-copy-rows")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val t = factory.open()
+        var ok = false
+        try {
+          t.begin(stmt)
+          val buf = new ByteArrayOutputStream(flushBytes + 4096)
+          var n = 0L
+          it.foreach { row =>
+            buf.write(PgCopyText.encodeRow(row).getBytes(StandardCharsets.UTF_8))
+            buf.write('\n')
+            n += 1
+            if (buf.size >= flushBytes) {
+              val b = buf.toByteArray; t.write(b, 0, b.length); buf.reset()
+            }
+          }
+          if (buf.size > 0) { val b = buf.toByteArray; t.write(b, 0, b.length) }
+          t.commit()
+          rows.add(n)
+          ok = true
+        } finally {
+          if (!ok) try t.rollback() catch { case _: Throwable => () }
+          t.close()
+        }
+      }
+    }
+    rows.value
+  }
+}
+
+/** pgjdbc CopyManager transport, bound reflectively: the driver jar is
+  * required at runtime only (it is always present when the JDBC write
+  * path itself works — CopyManager ships inside pgjdbc). Per-partition
+  * transaction: autoCommit off, COPY stream, commit on endCopy,
+  * cancelCopy + rollback on failure. */
+final class PgJdbcCopyTransport(url: String, user: String, password: String)
+    extends CopyTransport {
+  private var conn: java.sql.Connection = _
+  private var copyIn: AnyRef = _
+
+  private def copyInMethod(name: String, args: Class[_]*) =
+    Class.forName("org.postgresql.copy.CopyIn").getMethod(name, args: _*)
+
+  override def begin(copySql: String): Unit = {
+    conn = java.sql.DriverManager.getConnection(url, user, password)
+    conn.setAutoCommit(false)
+    val pgConnClass = Class.forName("org.postgresql.PGConnection")
+    val pgConn = conn.unwrap(pgConnClass).asInstanceOf[AnyRef]
+    val copyApi = pgConnClass.getMethod("getCopyAPI").invoke(pgConn)
+    copyIn = copyApi.getClass.getMethod("copyIn", classOf[String])
+      .invoke(copyApi, copySql)
+  }
+
+  override def write(bytes: Array[Byte], off: Int, len: Int): Unit =
+    copyInMethod("writeToCopy", classOf[Array[Byte]], classOf[Int], classOf[Int])
+      .invoke(copyIn, bytes, Integer.valueOf(off), Integer.valueOf(len))
+
+  override def commit(): Unit = {
+    copyInMethod("endCopy").invoke(copyIn)
+    conn.commit()
+  }
+
+  override def rollback(): Unit = {
+    if (copyIn != null)
+      try copyInMethod("cancelCopy").invoke(copyIn) catch { case _: Throwable => () }
+    if (conn != null) conn.rollback()
+  }
+
+  override def close(): Unit = if (conn != null) conn.close()
+}
+
+final class PgJdbcCopyTransportFactory(url: String, user: String, password: String)
+    extends CopyTransportFactory {
+  override def open(): CopyTransport = new PgJdbcCopyTransport(url, user, password)
+}
