@@ -390,7 +390,10 @@ object Round3Queries {
     ("q86_tfidf", (s: SparkSession, dir: String) => {
       import s.implicits._
       val docs = Tables.spread(Tables.t(s, dir, "documents"))
-      val nDocs = docs.count()
+      // corpus size as a 1-row scalar aggregate broadcast-cross-joined in
+      // (the oracle's CROSS JOIN nd) — inside the DAG, not a driver-side
+      // count() job that would scan the corpus once more at any scale
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
       val toks = docs
         .select($"doc_id", explode(split(TA.normText($"text"), " ")).as("tok"))
         .filter($"tok" =!= "")
@@ -399,9 +402,9 @@ object Round3Queries {
         .groupBy($"tok").agg(count(lit(1)).as("df"))
       // idf as the exact rational n_docs/df (log() differs across libm;
       // the ranking it induces is identical)
-      val scored = tf.join(df, Seq("tok"))
+      val scored = tf.join(df, Seq("tok")).crossJoin(broadcast(nd))
         .select($"doc_id", $"tok", $"tf", $"df",
-          (($"tf" * lit(nDocs)).cast("double") / $"df").as("score"))
+          (($"tf" * $"n_docs").cast("double") / $"df").as("score"))
       val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok".asc)
       scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
         .select($"doc_id", $"rank".cast("long").as("rank"), $"tok", $"tf", $"df", $"score")

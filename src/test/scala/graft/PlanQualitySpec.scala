@@ -87,6 +87,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"centroid/query side not broadcast:\n$plan")
   }
 
+  test("q47 assignment is cached: both cell-join sides read InMemoryTableScan") {
+    val df = SparkEntry.queries("q47_ann_ivf_kmeans")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // query side + candidate side must both reuse the cached assignment;
+    // the Lloyd training chain sits behind a localCheckpoint so it cannot
+    // appear (= re-execute) inside the search plan at all
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"assignment subplan not cached on both join sides:\n$plan")
+    assert(!plan.contains("posexplode"),
+      s"k-means training chain leaked into the search plan:\n$plan")
+  }
+
+  test("q86 tf-idf folds the corpus count into the DAG (no driver-side count job)") {
+    val df = SparkEntry.queries("q86_tfidf")(spark, TestSpark.Sf)
+    // n_docs must be a scalar aggregate INSIDE the plan (the oracle's
+    // CROSS JOIN nd), not a literal baked in by a driver-side count()
+    val logical = df.queryExecution.analyzed.toString
+    assert(logical.contains("n_docs"), s"no in-DAG n_docs aggregate:\n$logical")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"scalar n_docs not broadcast-cross-joined into the DAG:\n$plan")
+  }
+
   test("ANN top-k gets WindowGroupLimit (partial per-partition top-k before shuffle)") {
     // the rank()<=k filter lets Spark keep only k rows per key per
     // partition ahead of the window sort — at scale this caps the
