@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Pagination {
 
+  /** Comment marker prefixed to every generated page/probe SQL — the
+    * reference prefixes a "gomysql2pg" block comment (root.go:373,394) —
+    * so the source database's PROCESSLIST can identify, and on cancel
+    * kill, graft's in-flight queries. */
+  val SqlTag = "/* gomysql2pgspark */"
+
   /** Page math (cmd/root.go:373-379): ceil(count/pageSize) pages; a table
     * always yields at least one page (root.go:381 uses `<=`). */
   def pageCount(rows: Long, pageSize: Long): Long =
@@ -47,7 +53,7 @@ object Pagination {
     val keyList = pkCols.mkString(",")
     val onCond = pkCols.map(c => s"temp.$c = t.$c").mkString(" and ")
     (0L until pageCount(totalRows, pageSize)).map { p =>
-      s"SELECT t.* FROM (SELECT $keyList FROM $table ORDER BY $keyList " +
+      s"SELECT $SqlTag t.* FROM (SELECT $keyList FROM $table ORDER BY $keyList " +
         s"LIMIT ${p * pageSize},$pageSize) temp LEFT JOIN $table t ON $onCond"
     }.toArray
   }

@@ -20,19 +20,39 @@ object GraftCli {
 
   val Version = "gomysql2pgspark v0.1.0"
 
+  /** Parsed command line: the reference's cobra flag surface
+    * (root.go:526-531, create.go:24). `-s`/`--selFromYml` takes the work
+    * list from the yml `tables:` map; `-t`/`--tableOnly` on createTable
+    * skips data-SQL planning (a no-op here — page planning is lazy in
+    * the data phase — accepted for flag parity). */
+  case class CliArgs(cfgPath: String, cmd: String,
+                     selFromYml: Boolean, tableOnly: Boolean)
+
+  def parseArgs(args: Array[String]): CliArgs = {
+    val (flags, cmds) = args.partition(_.startsWith("-"))
+    CliArgs(
+      cfgPath = flags.collectFirst { case f if f.startsWith("--config=") => f.drop(9) }
+        .getOrElse("graft.yml"),
+      cmd = cmds.headOption.getOrElse("help"),
+      selFromYml = flags.contains("-s") || flags.contains("--selFromYml"),
+      tableOnly = flags.contains("-t") || flags.contains("--tableOnly"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val (flags, cmds) = args.partition(_.startsWith("--"))
-    val cfgPath = flags.collectFirst { case f if f.startsWith("--config=") => f.drop(9) }
-      .getOrElse("graft.yml")
-    val cmd = cmds.headOption.getOrElse("help")
+    val parsed = parseArgs(args)
+    val cfgPath = parsed.cfgPath
+    val cmd = parsed.cmd
 
     if (cmd == "version") { println(Version); return }
     if (cmd == "help") { println(usage); return }
 
-    val cfg =
-      if (Files.exists(Paths.get(cfgPath)))
-        YamlConfig.parse(Files.readString(Paths.get(cfgPath)))
-      else GraftConfig()
+    val cfg = {
+      val base =
+        if (Files.exists(Paths.get(cfgPath)))
+          YamlConfig.parse(Files.readString(Paths.get(cfgPath)))
+        else GraftConfig()
+      base.copy(selFromYml = base.selFromYml || parsed.selFromYml)
+    }
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -61,7 +81,9 @@ object GraftCli {
     {
       val source = new JdbcCatalogSource(spark, cfg)
       val sink = new JdbcSink(spark, cfg)
-      val runner = new Migration.Runner(spark, cfg, source, sink)
+      // per-run timestamped artifact dir (CreateDateDir, app.go:219-236)
+      val flog = new FailureLog(Paths.get(""))
+      val runner = new Migration.Runner(spark, cfg, source, sink, Some(flog))
       cmd match {
         case "run"         => runner.run().show(false)
         case "createTable" => runner.tableStructure(); runner.report().show(false)
@@ -79,5 +101,5 @@ object GraftCli {
   }
 
   def usage: String =
-    """usage: graft-cli [--config=path.yml] <run|createTable|onlyData|seqOnly|idxOnly|viewOnly|compareDb|version>"""
+    """usage: graft-cli [--config=path.yml] [-s|--selFromYml] [-t|--tableOnly] <run|createTable|onlyData|seqOnly|idxOnly|viewOnly|compareDb|version>"""
 }

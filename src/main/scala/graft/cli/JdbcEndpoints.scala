@@ -66,7 +66,7 @@ final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig) extends Mig
     if (pkNumeric) {
       val k = pk.head
       val stats = spark.read.jdbc(conn.url,
-        s"(select count(*) c, min(`$k`) mn, max(`$k`) mx from `$table`) t",
+        s"(select ${graft.catalog.Pagination.SqlTag} count(*) c, min(`$k`) mn, max(`$k`) mx from `$table`) t",
         conn.props).collect().head
       val rows = Option(stats.get(0)).fold(0L)(_.toString.toLong)
       val mn = Option(stats.get(1)).fold(0L)(_.toString.toLong)
@@ -75,7 +75,7 @@ final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig) extends Mig
         rowCount = rows, pkMin = mn, pkMax = mx, pageSize = cfg.pageSize)
     } else {
       val stats = spark.read.jdbc(conn.url,
-        s"(select count(*) c from `$table`) t", conn.props).collect().head
+        s"(select ${graft.catalog.Pagination.SqlTag} count(*) c from `$table`) t", conn.props).collect().head
       val rows = stats.get(0).toString.toLong
       Jdbc.readTable(spark, conn, table, pk, pkIsNumeric = false,
         rowCount = rows, pkMin = 0, pkMax = 0, pageSize = cfg.pageSize)

@@ -60,7 +60,8 @@ object Migration {
   case class PhaseResult(phase: String, objects: Long, failed: Long, elapsedMs: Long)
 
   final class Runner(spark: SparkSession, cfg: GraftConfig,
-                     source: CatalogSource, sink: MigrationSink) {
+                     source: CatalogSource, sink: MigrationSink,
+                     failureLog: Option[FailureLog] = None) {
     private val results = mutable.ArrayBuffer[PhaseResult]()
 
     private def phase[A](name: String)(body: => (Long, Long)): Unit = {
@@ -69,9 +70,20 @@ object Migration {
       results += PhaseResult(name, objects, failed, (System.nanoTime() - t0) / 1000000)
     }
 
-    private def execAll(ddls: Seq[String]): (Long, Long) = {
-      val failed = ddls.count(sql => sink.executeDdl(sql).isFailure)
-      (ddls.size.toLong, failed.toLong)
+    /** Execute DDLs with failure counting (A4) and K3 artifact capture:
+      * each failed statement lands verbatim in `<logName>.log` so the tail
+      * of a failed run is replayable from the artifact alone. */
+    private def execAll(ddls: Seq[String], logName: String): (Long, Long) = {
+      var failed = 0L
+      ddls.foreach { sql =>
+        sink.executeDdl(sql) match {
+          case Failure(e) =>
+            failed += 1
+            failureLog.foreach(_.logError(logName, sql, String.valueOf(e.getMessage)))
+          case Success(_) => ()
+        }
+      }
+      (ddls.size.toLong, failed)
     }
 
     /** Bounded concurrent map over per-table work — the reference's
@@ -109,7 +121,8 @@ object Migration {
       * data, so this runs zero Spark jobs regardless of catalog size. */
     def workList: Seq[String] = {
       val all =
-        if (cfg.tables.nonEmpty) cfg.tables.keys.toSeq
+        if (cfg.selFromYml) cfg.tables.keys.toSeq // -s: names come from yml only (root.go:97)
+        else if (cfg.tables.nonEmpty) cfg.tables.keys.toSeq
         else source.tableNames
       all.filter(Exclusion.compiledKeep(cfg.exclude)).sorted
     }
@@ -122,8 +135,12 @@ object Migration {
       val wl = workList
       val outcomes = runConcurrently(wl, "graft-ddl") { t =>
         sink.executeDdl(s"""drop table if exists "${t.toLowerCase}" cascade""") // root.go:142
-        sink.executeDdl(TypeMapper.createTableDdl(t, source.columns(t),
-          cfg.charInLength, cfg.useNvarchar2))
+        val ddl = TypeMapper.createTableDdl(t, source.columns(t),
+          cfg.charInLength, cfg.useNvarchar2)
+        val r = sink.executeDdl(ddl)
+        r.failed.foreach(e => failureLog.foreach( // tablemeta.go:150
+          _.logError(FailureLog.TableCreateFailed, ddl, String.valueOf(e.getMessage))))
+        r
       }
       (wl.size.toLong, outcomes.count(_.isFailure).toLong)
     }
@@ -136,12 +153,40 @@ object Migration {
     def tableData(): Unit = phase("TableData") {
       val wl = workList
       val outcomes = runConcurrently(wl, "graft-data") { t =>
-        val df = ValueTransforms.scrubNulAll(
-          ValueTransforms.lowercaseColumns(
-            source.tableData(t, cfg.tables.getOrElse(t, Nil))))
-        sink.writeTable(t.toLowerCase, df)
+        val raw = ValueTransforms.lowercaseColumns(
+          source.tableData(t, cfg.tables.getOrElse(t, Nil)))
+        failureLog.foreach(logInvalidSample(_, t, raw)) // root.go:450-470
+        val r = sink.writeTable(t.toLowerCase, ValueTransforms.scrubNulAll(raw))
+        r.failed.foreach { e => // root.go:476-477
+          failureLog.foreach { fl =>
+            fl.logLine(FailureLog.FailedTable, t)
+            fl.logError(FailureLog.ErrorTableData, t, String.valueOf(e.getMessage))
+          }
+        }
+        r
       }
       (wl.size.toLong, outcomes.count(_.isFailure).toLong)
+    }
+
+    /** Bounded NUL-scrub capture (root.go:450-470 logs each affected value
+      * to invalidTableData.log): filter + limit early-exits the scan, so
+      * the artifact costs at most one short job per table and never an
+      * unbounded collect. */
+    private def logInvalidSample(fl: FailureLog, table: String, raw: DataFrame): Unit = {
+      val stringCols = raw.schema.fields
+        .filter(_.dataType.typeName == "string").map(_.name)
+      if (stringCols.nonEmpty) {
+        val anyNul = stringCols.map(c => ValueTransforms.hasNul(col(c))).reduce(_ || _)
+        raw.filter(anyNul).limit(FailureLog.InvalidSampleLimit).collect().foreach { row =>
+          stringCols.foreach { c =>
+            val v = row.getAs[String](c)
+            if (v != null && v.indexOf('\u0000') >= 0)
+              fl.logError(FailureLog.InvalidTableData, // root.go:466 shape
+                s"[Warning] invalid string found ! tableName:$table column value:[" +
+                  v.replace("\u0000", "") + s"] columnName:[$c]", "NUL scrubbed")
+          }
+        }
+      }
     }
 
     /** Phase 3-6: DDL objects regenerated as DataFrame pipelines (S6-S10)
@@ -149,27 +194,29 @@ object Migration {
     def sequences(): Unit = phase("Sequence") {
       val rows = DdlGen.sequenceDdl(source.autoIncrements).collect()
       execAll(rows.flatMap(r => Seq(r.getAs[String]("drop_ddl"),
-        r.getAs[String]("create_ddl"), r.getAs[String]("default_ddl"))).toSeq)
+        r.getAs[String]("create_ddl"), r.getAs[String]("default_ddl"))).toSeq,
+        FailureLog.SeqCreateFailed)
     }
 
     def indexes(): Unit = phase("Index") {
       execAll(DdlGen.indexDdl(source.statistics, suffix = "g1", distributed = cfg.distributed)
-        .collect().map(_.getAs[String]("ddl")).toSeq)
+        .collect().map(_.getAs[String]("ddl")).toSeq, FailureLog.IdxCreateFailed)
     }
 
     def foreignKeys(): Unit = phase("ForeignKey") {
       val (kcu, rc) = source.foreignKeys
-      execAll(DdlGen.fkDdl(kcu, rc).collect().map(_.getAs[String]("ddl")).toSeq)
+      execAll(DdlGen.fkDdl(kcu, rc).collect().map(_.getAs[String]("ddl")).toSeq,
+        FailureLog.FkCreateFailed)
     }
 
     def views(): Unit = phase("View") {
       execAll(DdlGen.viewDdl(source.views, cfg.src.database)
-        .collect().map(_.getAs[String]("ddl")).toSeq)
+        .collect().map(_.getAs[String]("ddl")).toSeq, FailureLog.ViewCreateFailed)
     }
 
     def triggers(): Unit = phase("Trigger") {
       execAll(DdlGen.triggerDdl(source.triggers)
-        .collect().map(_.getAs[String]("body")).toSeq)
+        .collect().map(_.getAs[String]("body")).toSeq, FailureLog.TriggerCreateFailed)
     }
 
     /** compareDb (cmd/compare.go): per-table count verification with the

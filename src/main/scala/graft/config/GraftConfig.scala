@@ -21,7 +21,8 @@ case class GraftConfig(
     useNvarchar2: Boolean = false,            // example.yml:16
     distributed: Boolean = false,             // "Distributed" (tablemeta.go:233-241)
     tables: Map[String, Seq[String]] = Map.empty, // custom-SQL mode (root.go:97-98)
-    exclude: Seq[String] = Nil)               // wildcard exclusion (root.go:227-246)
+    exclude: Seq[String] = Nil,               // wildcard exclusion (root.go:227-246)
+    selFromYml: Boolean = false)              // -s flag: work list from `tables:` (root.go:529,97)
 
 /** Hand-rolled parser for the flat YAML subset the reference uses: scalar
   * keys, one-level maps (src/dest), a list key (exclude), and a

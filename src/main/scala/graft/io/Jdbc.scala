@@ -102,10 +102,11 @@ object Jdbc {
       try {
         c = DriverManager.getConnection(conn.url, conn.user, conn.password)
         val st = c.createStatement()
-        sqls.foreach { sql =>
+        StatementRegistry.register(st) // cancellable from the Ctrl-C hook
+        try sqls.foreach { sql =>
           try { st.execute(sql); succeeded += 1 }
           catch { case e: Throwable => failed += 1; onError(sql, e) }
-        }
+        } finally StatementRegistry.deregister(st)
       } finally if (c != null) c.close()
     }
   }

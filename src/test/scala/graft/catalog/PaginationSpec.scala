@@ -36,8 +36,10 @@ class PaginationSpec extends AnyFunSuite {
   test("deferredJoinPageSql emits the reference's page SQL shape (root.go:382)") {
     val sqls = Pagination.deferredJoinPageSql("t", Seq("a", "b"), 100, 250)
     assert(sqls.length == 3)
-    assert(sqls(1) == "SELECT t.* FROM (SELECT a,b FROM t ORDER BY a,b " +
+    assert(sqls(1) == s"SELECT ${Pagination.SqlTag} t.* FROM (SELECT a,b FROM t ORDER BY a,b " +
       "LIMIT 100,100) temp LEFT JOIN t t ON temp.a = t.a and temp.b = t.b")
+    // every page SQL carries the kill-marker tag (root.go:394)
+    assert(sqls.forall(_.contains("gomysql2pgspark")))
   }
 
   test("deferredJoinPage returns exactly rows [offset, offset+n) in PK order") {

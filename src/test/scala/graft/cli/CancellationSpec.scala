@@ -33,4 +33,59 @@ class CancellationSpec extends AnyFunSuite {
     assert(r == 10)
     assert(spark.sparkContext.getLocalProperty("spark.jobGroup.id") == null)
   }
+
+  private def proxy[T](clazz: Class[T])(handle: (String, Array[AnyRef]) => AnyRef): T =
+    java.lang.reflect.Proxy.newProxyInstance(clazz.getClassLoader, Array(clazz),
+      (p, m, args) => m.getName match {
+        case "hashCode" => Integer.valueOf(System.identityHashCode(p))
+        case "equals"   => java.lang.Boolean.valueOf(p eq args(0))
+        case "toString" => "proxy:" + clazz.getSimpleName
+        case name       => handle(name, if (args == null) Array.empty else args)
+      }).asInstanceOf[T]
+
+  test("cancelAll cancels registered driver-side JDBC statements (C11)") {
+    @volatile var cancelled = false
+    val st = proxy(classOf[java.sql.Statement]) {
+      case ("cancel", _) => cancelled = true; null
+      case _             => null
+    }
+    Cancellation.registerStatement(st)
+    try {
+      Cancellation.cancelAll(spark)
+      assert(cancelled, "registered statement not cancelled")
+    } finally Cancellation.deregisterStatement(st)
+  }
+
+  test("killTagged sweeps PROCESSLIST for tagged queries (app.go:186-202)") {
+    val killed = scala.collection.mutable.Buffer[String]()
+    val ids = Seq("101", "202")
+    var idx = -1
+    val rs = proxy(classOf[java.sql.ResultSet]) {
+      case ("next", _)      => idx += 1; java.lang.Boolean.valueOf(idx < ids.size)
+      case ("getString", _) => ids(idx)
+      case _                => null
+    }
+    val st = proxy(classOf[java.sql.Statement]) {
+      case ("executeQuery", args) =>
+        // the sweep must search for OUR tag
+        assert(args(0).asInstanceOf[String].contains(Cancellation.GroupId))
+        rs
+      case ("execute", args) =>
+        killed += args(0).asInstanceOf[String]; java.lang.Boolean.TRUE
+      case _ => null
+    }
+    val conn = proxy(classOf[java.sql.Connection]) {
+      case ("createStatement", _) => st
+      case _                      => null
+    }
+    assert(Cancellation.killTagged(conn) == ids)
+    assert(killed.toSeq == Seq("kill query 101", "kill query 202"))
+  }
+
+  test("generated SQL carries the kill-marker tag (root.go:373,394)") {
+    assert(Cancellation.Tag.contains(Cancellation.GroupId))
+    assert(graft.catalog.Pagination
+      .deferredJoinPageSql("t", Seq("id"), 10, 25)
+      .forall(_.startsWith(s"SELECT ${Cancellation.Tag} ")))
+  }
 }

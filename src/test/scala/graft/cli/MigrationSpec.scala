@@ -1,5 +1,7 @@
 package graft.cli
 
+import java.nio.file.Files
+
 import scala.collection.mutable
 import scala.util.{Failure, Success, Try}
 
@@ -110,6 +112,43 @@ class MigrationSpec extends AnyFunSuite {
     assert(r2.run(dataOnly = true).collect().map(_.getString(0)).toSeq == Seq("TableData"))
   }
 
+  test("K3 artifacts: failed DDL and scrubbed NULs land in the run's log dir") {
+    val base = Files.createTempDirectory("graft-k3")
+    val flog = new FailureLog(base)
+    val sink = new RecordingSink
+    sink.failDdlContaining = Some("create sequence")
+    val runner = new Migration.Runner(spark, cfg, fixtureSource, sink, Some(flog))
+    runner.sequences()
+    runner.tableData()
+    // failed-DDL artifact: the statement verbatim + the error, replayable
+    val seqLog = flog.read(FailureLog.SeqCreateFailed)
+    assert(seqLog.size == 1)
+    assert(seqLog.head.startsWith("create sequence seq_t1_id"))
+    assert(seqLog.head.endsWith(" -- ErrorInfo boom"))
+    // NUL-scrub artifact: the reference's exact message shape (root.go:466)
+    val invalid = flog.read(FailureLog.InvalidTableData)
+    assert(invalid == Seq("[Warning] invalid string found ! tableName:t1 " +
+      "column value:[a] columnName:[name] -- ErrorInfo NUL scrubbed"))
+    // nothing else failed → no other artifacts
+    assert(flog.read(FailureLog.FailedTable).isEmpty)
+    assert(flog.read(FailureLog.ErrorTableData).isEmpty)
+  }
+
+  test("K3 artifacts: failed table write lands in failedTable + errorTableData") {
+    val base = Files.createTempDirectory("graft-k3w")
+    val flog = new FailureLog(base)
+    val sink = new RecordingSink {
+      override def writeTable(table: String, df: DataFrame): Try[Long] =
+        Failure(new RuntimeException("write exploded"))
+    }
+    val runner = new Migration.Runner(spark, cfg, fixtureSource, sink, Some(flog))
+    runner.tableData()
+    assert(flog.read(FailureLog.FailedTable) == Seq("t1"))
+    assert(flog.read(FailureLog.ErrorTableData) ==
+      Seq("t1 -- ErrorInfo write exploded"))
+    assert(runner.report().collect().head.getLong(2) == 1L)
+  }
+
   test("tableData overlaps per-table jobs up to maxParallel (root.go:106-117)") {
     val n = 4
     // every writeTable parks on a barrier sized to the table count: the
@@ -155,5 +194,32 @@ class MigrationSpec extends AnyFunSuite {
   test("cli surface: version and help") {
     GraftCli.main(Array("version"))
     assert(GraftCli.usage.contains("compareDb"))
+  }
+
+  test("cli flags: -s/--selFromYml and -t/--tableOnly parse (create.go:24, root.go:529)") {
+    val a = GraftCli.parseArgs(Array("--config=x.yml", "-s", "createTable", "-t"))
+    assert(a == GraftCli.CliArgs("x.yml", "createTable", selFromYml = true, tableOnly = true))
+    val b = GraftCli.parseArgs(Array("--selFromYml", "--tableOnly", "run"))
+    assert(b.selFromYml && b.tableOnly && b.cmd == "run")
+    val c = GraftCli.parseArgs(Array("compareDb"))
+    assert(!c.selFromYml && !c.tableOnly && c.cfgPath == "graft.yml")
+  }
+
+  test("-s slices the work list to the yml tables map (root.go:97)") {
+    val sink = new RecordingSink
+    val tables = Map("t1" -> Seq.empty[String])
+    // -s: only yml-configured tables, even though the catalog has more
+    val rSel = new Migration.Runner(spark,
+      cfg.copy(selFromYml = true, tables = tables),
+      fixtureSourceFor(Seq("t1", "t2", "t3")), sink)
+    assert(rSel.workList == Seq("t1"))
+    // no -s and no tables: → full catalog minus exclusions
+    val rAll = new Migration.Runner(spark, cfg.copy(tables = Map.empty),
+      fixtureSourceFor(Seq("t1", "t2", "log_x")), sink)
+    assert(rAll.workList == Seq("t1", "t2"))
+    // -s with nothing configured → empty work list (reference: empty map)
+    val rEmpty = new Migration.Runner(spark, cfg.copy(selFromYml = true),
+      fixtureSourceFor(Seq("t1")), sink)
+    assert(rEmpty.workList.isEmpty)
   }
 }
