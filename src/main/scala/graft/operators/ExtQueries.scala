@@ -1111,21 +1111,33 @@ object ExtQueries {
         regexp_replace(c_name, '[0-9]+', '#', 'g') AS nums_masked
       FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""")),
 
-    // ----- multimodal: per-partition feature extraction (no SQL oracle) --
+    // ----- multimodal: per-partition feature extraction ------------------
     ("q69_multimodal_features", (s: SparkSession, dir: String) => {
       import s.implicits._
       // the mapPartitions decode/feature pipeline end-to-end: binary
       // payloads → per-partition stub decode → frame-sampled features.
-      // Deterministic (checksums are pure functions of the bytes) but a
-      // mapPartitions kernel has no SQL form — the gate records the
-      // rows-only check for this one (oracle intentionally omitted).
+      // The gate projection keeps the SQL-expressible kernel outputs
+      // (frame geometry + sampled header bytes → width/height); the
+      // rolling checksum has no SQL form and is pinned in MultimodalSpec.
       val media = graft.ext.Multimodal.toMediaDocs(
         Tables.spread(Tables.t(s, dir, "documents")).filter($"doc_id" < 200),
         "doc_id", "text")
       graft.ext.Multimodal.extractFeatures(media, frameEvery = 2)
         .toDF()
+        .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+          $"width".cast("long").as("width"), $"height".cast("long").as("height"))
         .orderBy("doc_id", "frame_idx")
-    }, None),
+    }, Some("""
+      WITH d AS (SELECT doc_id, text,
+          greatest(1, CAST(ceil(length(text)/64.0) AS BIGINT)) AS chunks
+        FROM documents WHERE doc_id < 200),
+      idx AS (SELECT doc_id, text, unnest(range(0, chunks, 2)) AS frame_idx FROM d)
+      SELECT doc_id, frame_idx,
+        32 + (CASE WHEN frame_idx*64 < length(text)
+              THEN ascii(substr(text, CAST(frame_idx*64+1 AS INT), 1)) ELSE 0 END) % 64 AS width,
+        32 + (CASE WHEN frame_idx*64+1 < length(text)
+              THEN ascii(substr(text, CAST(frame_idx*64+2 AS INT), 1)) ELSE 0 END) % 64 AS height
+      FROM idx ORDER BY doc_id, frame_idx""")),
 
     // ----- join family completeness: FULL OUTER + CROSS ------------------
     ("q70_full_outer_join", (s: SparkSession, dir: String) => {

@@ -952,14 +952,17 @@ object Round3Queries {
         o_orderpriority AS prio
       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""")),
 
-    // ----- multimodal: audio windows → batched scoring (no SQL form) -------
+    // ----- multimodal: audio windows → batched scoring --------------------
     ("q98_multimodal_audio_batch", (s: SparkSession, dir: String) => {
       import s.implicits._
       // the 1D-signal pipeline end-to-end: payloads → hop/window frames
       // (audioWindows) → per-partition fixed-size batches through the
-      // stubbed model (scoreFramesBatched). Deterministic values but a
-      // mapPartitions kernel with no SQL form — rows-only check, like
-      // q69.
+      // stubbed model (scoreFramesBatched). The gate projection keeps
+      // one row per scored frame (proves the batched scorer emitted the
+      // full frame stream) plus the per-doc window geometry and energy —
+      // all pure byte math the oracle reproduces in SQL. The model score
+      // and the batch contract (batch_id/batch_size) are partition-
+      // dependent and pinned in MultimodalSpec instead.
       val media = graft.ext.Multimodal.toMediaDocs(
         Tables.spread(Tables.t(s, dir, "documents")).filter($"doc_id" < 200),
         "doc_id", "text")
@@ -970,9 +973,26 @@ object Round3Queries {
         .join(wins.toDF().groupBy($"doc_id")
           .agg(count(lit(1)).as("n_windows"), sum($"energy").as("total_energy")),
           Seq("doc_id"))
-        .select($"doc_id", $"frame_idx", $"score", $"n_windows", $"total_energy")
+        .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"),
+          $"n_windows", $"total_energy")
         .orderBy("doc_id", "frame_idx")
-    }, None),
+    }, Some("""
+      WITH d AS (SELECT doc_id, text, length(text) AS n,
+          greatest(1, CAST(ceil(length(text)/64.0) AS BIGINT)) AS chunks
+        FROM documents WHERE doc_id < 200),
+      w AS (SELECT doc_id, text, n,
+          unnest(range(0, CAST(ceil(greatest(n,1)/128.0) AS BIGINT))) AS win_idx FROM d),
+      nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY doc_id),
+      b AS (SELECT doc_id, unnest(range(win_idx*128, least(n, win_idx*128+256))) AS pos, text
+            FROM w),
+      e AS (SELECT doc_id, CAST(sum(
+              (ascii(substr(text, CAST(pos+1 AS INT), 1)) - 128)
+            * (ascii(substr(text, CAST(pos+1 AS INT), 1)) - 128)) AS BIGINT) AS total_energy
+            FROM b GROUP BY doc_id),
+      f AS (SELECT doc_id, unnest(range(0, chunks, 2)) AS frame_idx FROM d)
+      SELECT f.doc_id, f.frame_idx, nw.n_windows, e.total_energy
+      FROM f JOIN nw USING (doc_id) JOIN e USING (doc_id)
+      ORDER BY doc_id, frame_idx""")),
 
     // ----- semi-structured: JSON construct → parse round trip -------------
     ("q87_json_roundtrip", (s: SparkSession, dir: String) => {
