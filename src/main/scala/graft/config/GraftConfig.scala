@@ -3,8 +3,16 @@ package graft.config
 /** Connection endpoint (example.yml:1-12). */
 case class ConnConfig(host: String = "", port: Int = 0, database: String = "",
                       username: String = "", password: String = "") {
+  /** The go-mysql-driver DSN (cmd/app.go:43: charset=utf8&maxAllowedPacket=0)
+    * translated to Connector/J, with the three params that pin the same
+    * VALUE semantics the go driver exhibits — see DELTAS.md for why each
+    * differs under JDBC defaults:
+    * zeroDateTimeBehavior=convertToNull (zero dates, delta #1),
+    * tinyInt1isBit=false (tinyint(1) stays numeric, delta #3),
+    * yearIsDateType=false (YEAR stays numeric, delta #3). */
   def mysqlJdbcUrl: String =
-    s"jdbc:mysql://$host:$port/$database?characterEncoding=utf8" // DSN semantics of cmd/app.go:43
+    s"jdbc:mysql://$host:$port/$database?characterEncoding=utf8" +
+      "&zeroDateTimeBehavior=convertToNull&tinyInt1isBit=false&yearIsDateType=false"
   def pgJdbcUrl: String =
     s"jdbc:postgresql://$host:$port/$database?sslmode=disable"   // cmd/app.go:66
 }

@@ -58,9 +58,14 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(cfg.exclude == Seq("a*"))
   }
 
-  test("JDBC URLs follow the reference DSNs (app.go:43,66)") {
+  test("JDBC URLs follow the reference DSNs (app.go:43,66; value deltas in DELTAS.md)") {
     val cfg = YamlConfig.parse(yml)
-    assert(cfg.src.mysqlJdbcUrl == "jdbc:mysql://192.168.1.3:3306/test?characterEncoding=utf8")
+    assert(cfg.src.mysqlJdbcUrl.startsWith(
+      "jdbc:mysql://192.168.1.3:3306/test?characterEncoding=utf8"))
+    // the params that pin go-driver value semantics under Connector/J
+    assert(cfg.src.mysqlJdbcUrl.contains("zeroDateTimeBehavior=convertToNull")) // DELTAS.md #1
+    assert(cfg.src.mysqlJdbcUrl.contains("tinyInt1isBit=false"))                // DELTAS.md #3
+    assert(cfg.src.mysqlJdbcUrl.contains("yearIsDateType=false"))               // DELTAS.md #3
     assert(cfg.dest.pgJdbcUrl == "jdbc:postgresql://192.168.1.200:5432/test2?sslmode=disable")
   }
 }
