@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{TextAnalysis => TA}
+
+/** Round-6 operator surface: the pretraining-corpus curation family —
+  * repetition-based quality signals (the Gopher/C4-style duplicate-token
+  * and top-n-gram fractions), concat-and-chunk sequence packing as a
+  * distributed two-level prefix sum, domain temperature-mixing weights,
+  * and a benchmark-contamination screen via an 8-gram equi-join.
+  *
+  * Determinism rules as in Round3Queries: integer/exact arithmetic inside
+  * aggregates, IEEE-correctly-rounded ops only (division, sqrt) at the
+  * double boundary, total ORDER BY, identical aliases both engines.
+  */
+object Round6Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** DuckDB rendering of TextAnalysis.normText (same as ExtQueries). */
+  private val normSql =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+
+  /** Whitespace token count of the normalized text, empty-safe. */
+  private def tokCount(norm: Column): Column =
+    when(norm === "", lit(0L)).otherwise(size(split(norm, " ")).cast("long"))
+
+  private val tokCountSql =
+    s"CASE WHEN $normSql = '' THEN 0 ELSE len(string_split($normSql, ' ')) END"
+
+  val queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- corpus quality: repetition signals (Gopher/C4 family) ---------
+    ("q105_repetition_signals", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // duplicate-token fraction, top-token fraction and top-bigram
+      // fraction per document: explode → two-phase hash aggregate; the
+      // bigram stream is a lead() window partitioned per doc (parallel
+      // across docs, no global state). All fractions are single IEEE
+      // divisions of exact integer counts — bit-identical on any engine.
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+      val toks = docs
+        .select($"doc_id", posexplode(split(TA.normText($"text"), " ")).as(Seq("pos", "tok")))
+        .filter($"tok" =!= "")
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      val tokStats = tf.groupBy($"doc_id").agg(
+        sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max($"cnt").as("top_tok_cnt"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val bg = toks
+        .withColumn("nxt", lead($"tok", 1).over(w))
+        .filter($"nxt".isNotNull)
+        .select($"doc_id", concat_ws(" ", $"tok", $"nxt").as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("cnt"))
+      val bgStats = bg.groupBy($"doc_id").agg(
+        sum($"cnt").as("n_bigrams"), max($"cnt").as("top_bg_cnt"))
+      tokStats.join(bgStats, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens", $"n_distinct_tokens",
+          (($"n_tokens" - $"n_distinct_tokens").cast("double") / $"n_tokens")
+            .as("dup_token_frac"),
+          ($"top_tok_cnt".cast("double") / $"n_tokens").as("top_token_frac"),
+          coalesce($"top_bg_cnt".cast("double") / $"n_bigrams", lit(0.0))
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH t0 AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok,
+          generate_subscripts(string_split($normSql, ' '), 1) AS pos
+        FROM documents),
+      toks AS (SELECT doc_id, pos, tok FROM t0 WHERE tok <> ''),
+      tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+      ts AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct_tokens, max(cnt) AS top_tok_cnt
+        FROM tf GROUP BY doc_id),
+      led AS (SELECT doc_id, tok,
+          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM toks),
+      bgf AS (SELECT doc_id, tok || ' ' || nxt AS bg, count(*) AS cnt
+        FROM led WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+          max(cnt) AS top_bg_cnt FROM bgf GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct_tokens,
+        CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+        CAST(top_tok_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+        COALESCE(CAST(top_bg_cnt AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
+      FROM ts LEFT JOIN bs USING (doc_id)
+      ORDER BY doc_id""")),
+
+    // ----- sequence packing: concat-and-chunk as a 2-level prefix sum ----
+    ("q106_sequence_packing", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the packing step of a pretraining pipeline: documents are
+      // concatenated in doc_id order and chunked into fixed 512-token
+      // context windows. The global token offset is a DISTRIBUTED prefix
+      // sum: cumsum within doc_id/64 groups (parallel windows) + a tiny
+      // running offset over the per-group totals — no single-partition
+      // window over the corpus. 512 = 2^9 keeps the bin math exact in
+      // doubles (floor of an exact power-of-two division).
+      val C = 512
+      val perDoc = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", tokCount(TA.normText($"text")).as("n_tokens"),
+          floor($"doc_id" / 64).cast("long").as("grp"))
+      val wIn = Window.partitionBy($"grp").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCum = perDoc.withColumn("cum_in_grp", sum($"n_tokens").over(wIn))
+      val grpTotals = perDoc.groupBy($"grp").agg(sum($"n_tokens").as("grp_tot"))
+      val wG = Window.orderBy($"grp")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = grpTotals
+        .withColumn("grp_off", sum($"grp_tot").over(wG) - $"grp_tot")
+        .select($"grp", $"grp_off")
+      withCum.join(broadcast(offsets), Seq("grp"))
+        .select($"doc_id", $"n_tokens",
+          ($"grp_off" + $"cum_in_grp" - $"n_tokens").as("start_tok"))
+        .select($"doc_id", $"n_tokens", $"start_tok",
+          floor($"start_tok" / C).cast("long").as("bin_first"),
+          when($"n_tokens" === 0, floor($"start_tok" / C))
+            .otherwise(floor(($"start_tok" + $"n_tokens" - 1) / C))
+            .cast("long").as("bin_last"))
+        .withColumn("n_bins", $"bin_last" - $"bin_first" + 1)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, CAST($tokCountSql AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+          CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+        FROM d)
+      SELECT doc_id, n_tokens, start_tok,
+        CAST(floor(start_tok / 512.0) AS BIGINT) AS bin_first,
+        CAST(CASE WHEN n_tokens = 0 THEN floor(start_tok / 512.0)
+             ELSE floor((start_tok + n_tokens - 1) / 512.0) END AS BIGINT) AS bin_last,
+        CAST(CASE WHEN n_tokens = 0 THEN floor(start_tok / 512.0)
+             ELSE floor((start_tok + n_tokens - 1) / 512.0) END
+           - floor(start_tok / 512.0) + 1 AS BIGINT) AS n_bins
+      FROM c ORDER BY doc_id""")),
+
+    // ----- domain mixing: temperature-weighted sampling ------------------
+    ("q107_domain_mixing", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // per-source token shares and a temperature-α=0.5 sampling weight.
+      // Normalizing by the LARGEST domain's weight (max, order-
+      // independent) instead of the sum keeps the output bit-exact across
+      // engines: share division and sqrt are IEEE-correctly-rounded; a
+      // cross-group float sum would depend on aggregation order.
+      val perSrc = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", tokCount(TA.normText($"text")).as("n_tokens"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      // corpus totals as an unbounded window over the POST-aggregate rows
+      // (one per source — tiny), so the corpus scans exactly once
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      perSrc
+        .withColumn("tot_tokens", sum($"n_tokens").over(wAll))
+        .withColumn("max_tokens", max($"n_tokens").over(wAll))
+        .select($"source", $"n_docs", $"n_tokens",
+          ($"n_tokens".cast("double") / $"tot_tokens").as("tok_share"),
+          (sqrt($"n_tokens".cast("double") / $"tot_tokens") /
+            sqrt($"max_tokens".cast("double") / $"tot_tokens")).as("mix_weight"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH d AS (SELECT source, CAST($tokCountSql AS BIGINT) AS n_tokens
+        FROM documents),
+      s AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+      t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+          CAST(max(n_tokens) AS BIGINT) AS max_tokens FROM s)
+      SELECT source, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) / tot_tokens AS tok_share,
+        sqrt(CAST(n_tokens AS DOUBLE) / tot_tokens)
+          / sqrt(CAST(max_tokens AS DOUBLE) / tot_tokens) AS mix_weight
+      FROM s CROSS JOIN t ORDER BY source""")),
+
+    // ----- contamination screen: n-gram overlap vs a held-out set --------
+    ("q108_contamination", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // benchmark-contamination check: every corpus document is screened
+      // against a held-out eval slice (doc_id % 97 = 0) by exact word-
+      // n-gram overlap. Candidate generation is an equi-join ON THE
+      // N-GRAM STRING — the n-gram is its own blocking key, so there is
+      // no cross join at any corpus size, and the tiny eval side is
+      // broadcast. Output: distinct shared n-grams per (corpus, eval)
+      // pair and the contaminated fraction of the eval doc. Real screens
+      // use 8-13-gram windows; n=3 here because the synthetic corpus has
+      // no verbatim 8-gram collisions to demonstrate on — the plan shape
+      // is identical for any n.
+      val n = 3
+      def ngrams(df: DataFrame): DataFrame = df
+        .select($"doc_id", split(TA.normText($"text"), " ").as("a"))
+        .filter(size($"a") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(a) - ${n - 1}), j -> array_join(slice(a, j, $n), ' '))"))
+          .as("ngram"))
+        .distinct()
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+      val corpus = ngrams(docs.filter($"doc_id" % 97 =!= 0))
+      val eval = ngrams(docs.filter($"doc_id" % 97 === 0))
+        .withColumnRenamed("doc_id", "eval_doc_id")
+      val evalSizes = eval.groupBy($"eval_doc_id")
+        .agg(count(lit(1)).as("n_eval_ngrams"))
+      corpus.join(broadcast(eval), Seq("ngram"))
+        .groupBy($"doc_id", $"eval_doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(evalSizes), Seq("eval_doc_id"))
+        .select($"doc_id", $"eval_doc_id", $"n_shared",
+          ($"n_shared".cast("double") / $"n_eval_ngrams").as("contam_frac"))
+        .orderBy("doc_id", "eval_doc_id")
+    }, Some(s"""
+      WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS a
+        FROM documents WHERE len(string_split($normSql, ' ')) >= 3),
+      pos AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS j FROM base),
+      grams AS (SELECT DISTINCT doc_id,
+          array_to_string(list_slice(a, CAST(j AS INT), CAST(j + 2 AS INT)), ' ') AS ngram
+        FROM pos),
+      corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+      ev AS (SELECT doc_id AS eval_doc_id, ngram FROM grams WHERE doc_id % 97 = 0),
+      es AS (SELECT eval_doc_id, count(*) AS n_eval_ngrams FROM ev GROUP BY 1),
+      shared AS (SELECT c.doc_id, e.eval_doc_id, count(*) AS n_shared
+        FROM corpus c JOIN ev e USING (ngram) GROUP BY 1, 2)
+      SELECT doc_id, eval_doc_id, n_shared,
+        CAST(n_shared AS DOUBLE) / n_eval_ngrams AS contam_frac
+      FROM shared JOIN es USING (eval_doc_id)
+      ORDER BY doc_id, eval_doc_id"""))
+  )
+}

@@ -157,4 +157,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("q106 packing: group offsets broadcast; corpus-wide window stays partitioned") {
+    val df = SparkEntry.queries("q106_sequence_packing")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the per-group cumsum windows are partitioned by grp (parallel);
+    // only the tiny per-group offset table is single-partition, and it
+    // reaches the docs through a broadcast join
+    assert(plan.contains("BroadcastHashJoin"), s"group offsets not broadcast:\n$plan")
+    assert(plan.contains("partitionBy") || plan.contains("grp"), plan)
+  }
+
+  test("q108 contamination joins on the n-gram string (no cross join)") {
+    val df = SparkEntry.queries("q108_contamination")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"contamination screen degenerated into a cross join:\n$plan")
+  }
+
+  test("q105 repetition signals aggregate map-side (two-phase HashAggregate)") {
+    val df = SparkEntry.queries("q105_repetition_signals")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no two-phase aggregate:\n$plan")
+  }
 }
