@@ -269,7 +269,14 @@ object Dedup {
     * would explode a join never enter a prefix), then the two-pointer
     * SortedLongJaccard verify over the sorted gram arrays.
     *
-    * `docs` needs (id, grams) with grams SORTED DISTINCT longs. */
+    * `docs` needs (id, grams) with grams SORTED DISTINCT longs.
+    *
+    * The (id, grams) table feeds three branches (token explode + both
+    * verify sides). Measured at sf0.1, persisting it is a net LOSS —
+    * serializing corpus-sized long arrays into the cache costs more than
+    * recomputing the gram extraction per branch — so the branches
+    * deliberately recompute; revisit only if gram extraction grows
+    * disproportionately expensive. */
   def prefixFilterPairs(docs: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // sz travels with the explode (grams are already distinct, so the

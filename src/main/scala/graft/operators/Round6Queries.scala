@@ -95,14 +95,17 @@ object Round6Queries {
       // the packing step of a pretraining pipeline: documents are
       // concatenated in doc_id order and chunked into fixed 512-token
       // context windows. The global token offset is a DISTRIBUTED prefix
-      // sum: cumsum within doc_id/64 groups (parallel windows) + a tiny
-      // running offset over the per-group totals — no single-partition
-      // window over the corpus. 512 = 2^9 keeps the bin math exact in
-      // doubles (floor of an exact power-of-two division).
+      // sum: cumsum within doc_id/2^16 groups (parallel windows) + a
+      // running offset over the per-group totals — the output is
+      // group-width-invariant, and 2^16 keeps BOTH levels bounded at
+      // corpus scale (1e9 docs → 65k-row windows × 15k groups, with the
+      // offset window over just those 15k rows; nest a third level the
+      // same way if docs outgrow width²). 512 = 2^9 keeps the bin math
+      // exact in doubles (floor of an exact power-of-two division).
       val C = 512
       val perDoc = Tables.spread(Tables.t(s, dir, "documents"))
         .select($"doc_id", tokCount(TA.normText($"text")).as("n_tokens"),
-          floor($"doc_id" / 64).cast("long").as("grp"))
+          floor($"doc_id" / 65536).cast("long").as("grp"))
       val wIn = Window.partitionBy($"grp").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val withCum = perDoc.withColumn("cum_in_grp", sum($"n_tokens").over(wIn))
@@ -173,6 +176,90 @@ object Round6Queries {
         sqrt(CAST(n_tokens AS DOUBLE) / tot_tokens)
           / sqrt(CAST(max_tokens AS DOUBLE) / tot_tokens) AS mix_weight
       FROM s CROSS JOIN t ORDER BY source""")),
+
+    // ----- curation funnel: staged filters with survivor counts ----------
+    ("q109_curation_funnel", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the end-to-end corpus-cleaning funnel: length floor → repetition
+      // ceilings → exact dedup (keep-first among survivors), reported as
+      // survivors per stage. One pass computes all per-doc signals; the
+      // dedup stage is a keep-first window over the md5 fingerprint OF
+      // THE SURVIVORS (funnel semantics — dedup sees only what earlier
+      // filters let through). The stage report is a 5-row aggregate of
+      // cumulative conjunctions — no per-stage rescans.
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+      val toks = docs
+        .select($"doc_id", explode(split(TA.normText($"text"), " ")).as("tok"))
+        .filter($"tok" =!= "")
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("cnt"))
+      val sig = tf.groupBy($"doc_id").agg(
+        sum($"cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"cnt").as("top_cnt"))
+      val flagged = docs.select($"doc_id", md5(TA.normText($"text")).as("fp"))
+        .join(sig, Seq("doc_id"), "left")
+        .select($"doc_id", $"fp",
+          coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+          coalesce($"n_distinct", lit(0L)).as("n_distinct"),
+          coalesce($"top_cnt", lit(0L)).as("top_cnt"))
+        .select($"doc_id", $"fp",
+          // thresholds as pure integer inequalities (dup_frac <= 0.7 ↔
+          // 10·dup <= 7·n; top_frac <= 0.2 ↔ 5·top <= n): bit-exact on
+          // any engine, immune to decimal-vs-double literal semantics
+          ($"n_tokens" >= 10).as("p1"),
+          ($"n_tokens" >= 10 &&
+            ($"n_tokens" - $"n_distinct") * 10 <= $"n_tokens" * 7).as("p2"),
+          ($"n_tokens" >= 10 &&
+            ($"n_tokens" - $"n_distinct") * 10 <= $"n_tokens" * 7 &&
+            $"top_cnt" * 5 <= $"n_tokens").as("p3"))
+      val wFp = Window.partitionBy($"fp").orderBy($"doc_id")
+      val dedup = flagged.filter($"p3")
+        .withColumn("keep", row_number().over(wFp) === 1)
+      val counts = flagged.agg(
+        count(lit(1)).as("s0_all"),
+        sum(when($"p1", 1L).otherwise(0L)).as("s1_len"),
+        sum(when($"p2", 1L).otherwise(0L)).as("s2_dupfrac"),
+        sum(when($"p3", 1L).otherwise(0L)).as("s3_toptok"))
+      val kept = dedup.agg(sum(when($"keep", 1L).otherwise(0L)).as("s4_dedup"))
+      counts.crossJoin(kept)
+        .select(explode(map(
+          lit("s0_all"), $"s0_all", lit("s1_len"), $"s1_len",
+          lit("s2_dupfrac"), $"s2_dupfrac", lit("s3_toptok"), $"s3_toptok",
+          lit("s4_dedup"), $"s4_dedup")).as(Seq("stage", "n_docs")))
+        .orderBy("stage")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      sig AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct, max(cnt) AS top_cnt FROM tf GROUP BY doc_id),
+      flagged AS (SELECT d.doc_id, md5($normSql) AS fp,
+          COALESCE(n_tokens, 0) AS n_tokens, COALESCE(n_distinct, 0) AS n_distinct,
+          COALESCE(top_cnt, 0) AS top_cnt
+        FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id),
+      p AS (SELECT doc_id, fp,
+          n_tokens >= 10 AS p1,
+          n_tokens >= 10 AND (n_tokens - n_distinct) * 10 <= n_tokens * 7 AS p2,
+          n_tokens >= 10 AND (n_tokens - n_distinct) * 10 <= n_tokens * 7
+            AND top_cnt * 5 <= n_tokens AS p3
+        FROM flagged),
+      dedup AS (SELECT doc_id,
+          row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS keep
+        FROM p WHERE p3),
+      c AS (SELECT count(*) AS s0_all,
+          CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS s1_len,
+          CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS s2_dupfrac,
+          CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS s3_toptok
+        FROM p),
+      k AS (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS s4_dedup
+        FROM dedup)
+      SELECT stage, n_docs FROM (
+        SELECT 's0_all' AS stage, s0_all AS n_docs FROM c
+        UNION ALL SELECT 's1_len', s1_len FROM c
+        UNION ALL SELECT 's2_dupfrac', s2_dupfrac FROM c
+        UNION ALL SELECT 's3_toptok', s3_toptok FROM c
+        UNION ALL SELECT 's4_dedup', s4_dedup FROM k)
+      ORDER BY stage""")),
 
     // ----- contamination screen: n-gram overlap vs a held-out set --------
     ("q108_contamination", (s: SparkSession, dir: String) => {
