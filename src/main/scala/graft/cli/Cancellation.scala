@@ -55,7 +55,10 @@ object Cancellation {
     try {
       val rs = st.executeQuery(
         "select id from information_schema.PROCESSLIST " +
-          s"where info like '%$GroupId%'")
+          // connection_id() guard: this sweep query itself contains the
+          // tag, so without it the sweep would kill its own session
+          // mid-iteration and abort before reaching the real targets
+          s"where info like '%$GroupId%' and id <> connection_id()")
       val ids = mutable.Buffer[String]()
       while (rs.next()) ids += rs.getString(1)
       ids.foreach(id => st.execute(s"kill query $id")) // app.go:199

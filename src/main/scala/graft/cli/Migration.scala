@@ -134,13 +134,23 @@ object Migration {
     def tableStructure(): Unit = phase("TableStructure") {
       val wl = workList
       val outcomes = runConcurrently(wl, "graft-ddl") { t =>
-        sink.executeDdl(s"""drop table if exists "${t.toLowerCase}" cascade""") // root.go:142
-        val ddl = TypeMapper.createTableDdl(t, source.columns(t),
-          cfg.charInLength, cfg.useNvarchar2)
-        val r = sink.executeDdl(ddl)
-        r.failed.foreach(e => failureLog.foreach( // tablemeta.go:150
-          _.logError(FailureLog.TableCreateFailed, ddl, String.valueOf(e.getMessage))))
-        r
+        // Try-wrapped end to end: a table whose catalog read blows up is
+        // ONE failure in the report, not the death of the phase
+        Try {
+          sink.executeDdl(s"""drop table if exists "${t.toLowerCase}" cascade""") // root.go:142
+          TypeMapper.createTableDdl(t, source.columns(t),
+            cfg.charInLength, cfg.useNvarchar2)
+        } match {
+          case Failure(ex) => // catalog read / DDL generation failed
+            failureLog.foreach(
+              _.logError(FailureLog.TableCreateFailed, t, String.valueOf(ex.getMessage)))
+            Failure(ex)
+          case Success(ddl) =>
+            val r = sink.executeDdl(ddl)
+            r.failed.foreach(ex => failureLog.foreach( // tablemeta.go:150
+              _.logError(FailureLog.TableCreateFailed, ddl, String.valueOf(ex.getMessage))))
+            r
+        }
       }
       (wl.size.toLong, outcomes.count(_.isFailure).toLong)
     }
@@ -153,10 +163,16 @@ object Migration {
     def tableData(): Unit = phase("TableData") {
       val wl = workList
       val outcomes = runConcurrently(wl, "graft-data") { t =>
-        val raw = ValueTransforms.lowercaseColumns(
-          source.tableData(t, cfg.tables.getOrElse(t, Nil)))
-        failureLog.foreach(logInvalidSample(_, t, raw)) // root.go:450-470
-        val r = sink.writeTable(t.toLowerCase, ValueTransforms.scrubNulAll(raw))
+        // Try covers the source read and sample too: a table that fails
+        // to READ is one counted+logged failure (root.go:476-494 logs and
+        // continues), never the death of the other in-flight tables
+        val r = Try {
+          val raw = ValueTransforms.lowercaseColumns(
+            source.tableData(t, cfg.tables.getOrElse(t, Nil)))
+          if (cfg.logInvalidData)
+            failureLog.foreach(logInvalidSample(_, t, raw)) // root.go:450-470
+          ValueTransforms.scrubNulAll(raw)
+        }.flatMap(df => sink.writeTable(t.toLowerCase, df))
         r.failed.foreach { e => // root.go:476-477
           failureLog.foreach { fl =>
             fl.logLine(FailureLog.FailedTable, t)
@@ -226,11 +242,14 @@ object Migration {
     def compare(): DataFrame = {
       import spark.implicits._
       val rows = runConcurrently(workList, "graft-compare") { t =>
-        val s = source.tableData(t).count()
-        sink.rowCount(t.toLowerCase) match {
-          case Some(c) => CompareDb.TableReport(t, s, c, "YES", if (s == c) "YES" else "NO")
-          case None    => CompareDb.TableReport(t, s, -1L, "NO", "NO")
-        }
+        Try {
+          val s = source.tableData(t).count()
+          sink.rowCount(t.toLowerCase) match {
+            case Some(c) => CompareDb.TableReport(t, s, c, "YES", if (s == c) "YES" else "NO")
+            case None    => CompareDb.TableReport(t, s, -1L, "NO", "NO")
+          }
+        }.getOrElse( // unreadable source counts as a failed comparison row
+          CompareDb.TableReport(t, -1L, -1L, "NO", "NO"))
       }
       rows.toDF().orderBy("table_name")
     }

@@ -30,7 +30,12 @@ case class GraftConfig(
     distributed: Boolean = false,             // "Distributed" (tablemeta.go:233-241)
     tables: Map[String, Seq[String]] = Map.empty, // custom-SQL mode (root.go:97-98)
     exclude: Seq[String] = Nil,               // wildcard exclusion (root.go:227-246)
-    selFromYml: Boolean = false)              // -s flag: work list from `tables:` (root.go:529,97)
+    selFromYml: Boolean = false,              // -s flag: work list from `tables:` (root.go:529,97)
+    // invalidTableData capture (root.go:450-470): the reference logs each
+    // bad value inline during its row loop; the Spark equivalent is an
+    // extra bounded sampling scan per table, so it is opt-in — enabling
+    // it costs up to one additional source read per table with no NULs.
+    logInvalidData: Boolean = false)
 
 /** Hand-rolled parser for the flat YAML subset the reference uses: scalar
   * keys, one-level maps (src/dest), a list key (exclude), and a
@@ -71,6 +76,7 @@ object YamlConfig {
                 case "charInLength" => cfg = cfg.copy(charInLength = value.toBoolean)
                 case "useNvarchar2" => cfg = cfg.copy(useNvarchar2 = value.toBoolean)
                 case "Distributed" | "distributed" => cfg = cfg.copy(distributed = value.toBoolean)
+                case "logInvalidData" => cfg = cfg.copy(logInvalidData = value.toBoolean)
                 case "dbType" => cfg = cfg.copy(dbType = value)
                 case _ => ()
               }

@@ -217,16 +217,20 @@ object Similarity {
   /** k-means-trained IVF top-k: train centroids with `iters` Lloyd
     * rounds, then nprobe=1 search within the assigned cell.
     *
-    * The trained centroids are localCheckpointed (k tiny rows — cuts the
-    * Lloyd-iteration lineage so it cannot re-execute) and the assignment
-    * is cached, because both the query side and the candidate side of the
-    * cell join read it: without the cache the full training + assignment
-    * chain runs twice per search — 2× the most expensive stage at any
-    * corpus size. */
+    * The trained centroids and the assignment are both localCheckpointed:
+    * the materialized RDD cuts the Lloyd-iteration lineage (so the
+    * training chain cannot re-execute) and both the query side and the
+    * candidate side of the cell join read the SAME materialized blocks —
+    * without it the full training + assignment chain runs twice per
+    * search, 2× the most expensive stage at any corpus size.
+    * localCheckpoint (not persist) because checkpoint blocks are released
+    * by the ContextCleaner once the RDD is unreferenced; each invocation
+    * builds a distinct plan, so cache entries would accumulate for the
+    * session's lifetime. */
   def ivfTopKKmeans(prepared: DataFrame, initPred: Column, iters: Int,
                     queryPred: Column, k: Int): DataFrame = {
     val cents = kmeansCentroids(prepared, initPred, iters).localCheckpoint()
-    val assigned = ivfAssignWith(prepared, cents).persist()
+    val assigned = ivfAssignWith(prepared, cents).localCheckpoint()
     val q = assigned.filter(queryPred)
       .select(col("cluster_id"), col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
     val c = assigned

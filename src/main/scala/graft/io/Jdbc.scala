@@ -84,8 +84,13 @@ object Jdbc {
   def writeTableCopy(df: DataFrame, conn: ConnInfo, table: String,
                      truncate: Boolean = true,
                      flushBytes: Int = 64 * 1024): Long = {
-    if (truncate)
-      new DdlExecutor(conn).execute(Seq(s"""truncate table "$table""""))()
+    if (truncate) {
+      // a failed TRUNCATE must fail the write — COPYing after a silently
+      // skipped truncate would append onto stale data on re-runs
+      var err: Throwable = null
+      new DdlExecutor(conn).execute(Seq(s"""truncate table "$table""""))((_, e) => err = e)
+      if (err != null) throw err
+    }
     PgCopyLoad.copyInto(df, table,
       new PgJdbcCopyTransportFactory(conn.url, conn.user, conn.password), flushBytes)
   }

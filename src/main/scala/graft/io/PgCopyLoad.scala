@@ -8,8 +8,16 @@ import org.apache.spark.sql.{DataFrame, Row}
 /** K1 mode B — the reference's COPY bulk load (`pq.CopyIn`,
   * cmd/root.go:408-511) as a Spark write path: each partition opens one
   * transport, streams its rows in COPY text format (PgCopyText), and
-  * commits one transaction — so a failed task leaves no partial page and
-  * Spark's task retry re-runs the partition idempotently.
+  * commits one transaction — so a task that fails BEFORE its commit
+  * leaves no partial page and retries cleanly.
+  *
+  * Exactly-once caveat (same exposure as any non-transactional sink): a
+  * task that dies AFTER commit but before reporting success, or a
+  * speculative duplicate of a slow task, would load its partition twice.
+  * Run the data phase with speculation off (Spark's default) and rely on
+  * the phase-level truncate-first re-run for recovery; true exactly-once
+  * needs target-side staging tables, which the reference does not use
+  * either.
   *
   * The transport is an interface so the engine compiles and is fully
   * testable without the PostgreSQL driver on the classpath; the pgjdbc
@@ -81,9 +89,12 @@ final class PgJdbcCopyTransport(url: String, user: String, password: String)
     extends CopyTransport {
   private var conn: java.sql.Connection = _
   private var copyIn: AnyRef = _
-
-  private def copyInMethod(name: String, args: Class[_]*) =
-    Class.forName("org.postgresql.copy.CopyIn").getMethod(name, args: _*)
+  // Method handles resolved ONCE in begin() — write() runs per ~64 KB
+  // chunk on the hot path; per-call Class.forName would cost hundreds of
+  // thousands of reflective lookups per large partition
+  private var writeToCopy: java.lang.reflect.Method = _
+  private var endCopy: java.lang.reflect.Method = _
+  private var cancelCopy: java.lang.reflect.Method = _
 
   override def begin(copySql: String): Unit = {
     conn = java.sql.DriverManager.getConnection(url, user, password)
@@ -93,20 +104,24 @@ final class PgJdbcCopyTransport(url: String, user: String, password: String)
     val copyApi = pgConnClass.getMethod("getCopyAPI").invoke(pgConn)
     copyIn = copyApi.getClass.getMethod("copyIn", classOf[String])
       .invoke(copyApi, copySql)
+    val copyInClass = Class.forName("org.postgresql.copy.CopyIn")
+    writeToCopy = copyInClass.getMethod("writeToCopy",
+      classOf[Array[Byte]], classOf[Int], classOf[Int])
+    endCopy = copyInClass.getMethod("endCopy")
+    cancelCopy = copyInClass.getMethod("cancelCopy")
   }
 
   override def write(bytes: Array[Byte], off: Int, len: Int): Unit =
-    copyInMethod("writeToCopy", classOf[Array[Byte]], classOf[Int], classOf[Int])
-      .invoke(copyIn, bytes, Integer.valueOf(off), Integer.valueOf(len))
+    writeToCopy.invoke(copyIn, bytes, Integer.valueOf(off), Integer.valueOf(len))
 
   override def commit(): Unit = {
-    copyInMethod("endCopy").invoke(copyIn)
+    endCopy.invoke(copyIn)
     conn.commit()
   }
 
   override def rollback(): Unit = {
     if (copyIn != null)
-      try copyInMethod("cancelCopy").invoke(copyIn) catch { case _: Throwable => () }
+      try cancelCopy.invoke(copyIn) catch { case _: Throwable => () }
     if (conn != null) conn.rollback()
   }
 

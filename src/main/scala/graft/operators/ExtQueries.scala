@@ -1119,8 +1119,13 @@ object ExtQueries {
       // The gate projection keeps the SQL-expressible kernel outputs
       // (frame geometry + sampled header bytes → width/height); the
       // rolling checksum has no SQL form and is pinned in MultimodalSpec.
+      // ASCII-only gate filter: the kernel reads UTF-8 BYTES while SQL
+      // substr/ascii read characters — identical only where octet_length
+      // equals char length, so the comparison is restricted to exactly
+      // that set (the kernel itself handles any bytes).
       val media = graft.ext.Multimodal.toMediaDocs(
-        Tables.spread(Tables.t(s, dir, "documents")).filter($"doc_id" < 200),
+        Tables.spread(Tables.t(s, dir, "documents"))
+          .filter($"doc_id" < 200 && octet_length($"text") === length($"text")),
         "doc_id", "text")
       graft.ext.Multimodal.extractFeatures(media, frameEvery = 2)
         .toDF()
@@ -1130,7 +1135,8 @@ object ExtQueries {
     }, Some("""
       WITH d AS (SELECT doc_id, text,
           greatest(1, CAST(ceil(length(text)/64.0) AS BIGINT)) AS chunks
-        FROM documents WHERE doc_id < 200),
+        FROM documents
+        WHERE doc_id < 200 AND octet_length(encode(text)) = length(text)),
       idx AS (SELECT doc_id, text, unnest(range(0, chunks, 2)) AS frame_idx FROM d)
       SELECT doc_id, frame_idx,
         32 + (CASE WHEN frame_idx*64 < length(text)

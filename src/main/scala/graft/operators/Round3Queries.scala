@@ -963,8 +963,10 @@ object Round3Queries {
       // all pure byte math the oracle reproduces in SQL. The model score
       // and the batch contract (batch_id/batch_size) are partition-
       // dependent and pinned in MultimodalSpec instead.
+      // ASCII-only gate filter, as in q69: byte-kernel vs char-SQL parity
       val media = graft.ext.Multimodal.toMediaDocs(
-        Tables.spread(Tables.t(s, dir, "documents")).filter($"doc_id" < 200),
+        Tables.spread(Tables.t(s, dir, "documents"))
+          .filter($"doc_id" < 200 && octet_length($"text") === length($"text")),
         "doc_id", "text")
       val frames = graft.ext.Multimodal.extractFeatures(media, frameEvery = 2)
       val wins = graft.ext.Multimodal.audioWindows(media, winSize = 256, hop = 128)
@@ -979,7 +981,8 @@ object Round3Queries {
     }, Some("""
       WITH d AS (SELECT doc_id, text, length(text) AS n,
           greatest(1, CAST(ceil(length(text)/64.0) AS BIGINT)) AS chunks
-        FROM documents WHERE doc_id < 200),
+        FROM documents
+        WHERE doc_id < 200 AND octet_length(encode(text)) = length(text)),
       w AS (SELECT doc_id, text, n,
           unnest(range(0, CAST(ceil(greatest(n,1)/128.0) AS BIGINT))) AS win_idx FROM d),
       nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM w GROUP BY doc_id),
@@ -990,8 +993,9 @@ object Round3Queries {
             * (ascii(substr(text, CAST(pos+1 AS INT), 1)) - 128)) AS BIGINT) AS total_energy
             FROM b GROUP BY doc_id),
       f AS (SELECT doc_id, unnest(range(0, chunks, 2)) AS frame_idx FROM d)
-      SELECT f.doc_id, f.frame_idx, nw.n_windows, e.total_energy
-      FROM f JOIN nw USING (doc_id) JOIN e USING (doc_id)
+      SELECT f.doc_id, f.frame_idx, nw.n_windows,
+        COALESCE(e.total_energy, 0) AS total_energy
+      FROM f JOIN nw USING (doc_id) LEFT JOIN e USING (doc_id)
       ORDER BY doc_id, frame_idx""")),
 
     // ----- semi-structured: JSON construct → parse round trip -------------

@@ -268,12 +268,14 @@ object Round6Queries {
       // against a held-out eval slice (doc_id % 97 = 0) by exact word-
       // n-gram overlap. Candidate generation is an equi-join ON THE
       // N-GRAM STRING — the n-gram is its own blocking key, so there is
-      // no cross join at any corpus size, and the tiny eval side is
-      // broadcast. Output: distinct shared n-grams per (corpus, eval)
-      // pair and the contaminated fraction of the eval doc. Real screens
-      // use 8-13-gram windows; n=3 here because the synthetic corpus has
-      // no verbatim 8-gram collisions to demonstrate on — the plan shape
-      // is identical for any n.
+      // no cross join at any corpus size. No broadcast hint: a real
+      // benchmark set is fixed-size and AQE will broadcast it when it
+      // fits, but this demo slice grows with the corpus, so the strategy
+      // choice is left to the planner. Output: distinct shared n-grams
+      // per (corpus, eval) pair and the contaminated fraction of the
+      // eval doc. Real screens use 8-13-gram windows; n=3 here because
+      // the synthetic corpus has no verbatim 8-gram collisions to
+      // demonstrate on — the plan shape is identical for any n.
       val n = 3
       def ngrams(df: DataFrame): DataFrame = df
         .select($"doc_id", split(TA.normText($"text"), " ").as("a"))
@@ -288,10 +290,10 @@ object Round6Queries {
         .withColumnRenamed("doc_id", "eval_doc_id")
       val evalSizes = eval.groupBy($"eval_doc_id")
         .agg(count(lit(1)).as("n_eval_ngrams"))
-      corpus.join(broadcast(eval), Seq("ngram"))
+      corpus.join(eval, Seq("ngram"))
         .groupBy($"doc_id", $"eval_doc_id")
         .agg(count(lit(1)).as("n_shared"))
-        .join(broadcast(evalSizes), Seq("eval_doc_id"))
+        .join(evalSizes, Seq("eval_doc_id"))
         .select($"doc_id", $"eval_doc_id", $"n_shared",
           ($"n_shared".cast("double") / $"n_eval_ngrams").as("contam_frac"))
         .orderBy("doc_id", "eval_doc_id")

@@ -87,15 +87,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"centroid/query side not broadcast:\n$plan")
   }
 
-  test("q47 assignment is cached: both cell-join sides read InMemoryTableScan") {
+  test("q47 assignment materializes once: both cell-join sides read the checkpoint") {
     val df = SparkEntry.queries("q47_ann_ivf_kmeans")(spark, TestSpark.Sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
-    // query side + candidate side must both reuse the cached assignment;
-    // the Lloyd training chain sits behind a localCheckpoint so it cannot
-    // appear (= re-execute) inside the search plan at all
-    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
-      s"assignment subplan not cached on both join sides:\n$plan")
+    // query side + candidate side must both read the materialized
+    // assignment RDD; the Lloyd training chain sits behind the
+    // localCheckpoint so it cannot appear (= re-execute) in the search
+    val scans = "Scan ExistingRDD".r.findAllIn(plan).length +
+      "InMemoryTableScan".r.findAllIn(plan).length
+    assert(scans >= 2, s"assignment not reused on both join sides:\n$plan")
     assert(!plan.contains("posexplode"),
       s"k-means training chain leaked into the search plan:\n$plan")
   }

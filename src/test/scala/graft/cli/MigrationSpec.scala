@@ -117,7 +117,9 @@ class MigrationSpec extends AnyFunSuite {
     val flog = new FailureLog(base)
     val sink = new RecordingSink
     sink.failDdlContaining = Some("create sequence")
-    val runner = new Migration.Runner(spark, cfg, fixtureSource, sink, Some(flog))
+    // bad-value capture is opt-in (costs a bounded sampling scan)
+    val runner = new Migration.Runner(spark, cfg.copy(logInvalidData = true),
+      fixtureSource, sink, Some(flog))
     runner.sequences()
     runner.tableData()
     // failed-DDL artifact: the statement verbatim + the error, replayable
