@@ -312,6 +312,106 @@ object Round6Queries {
       SELECT doc_id, eval_doc_id, n_shared,
         CAST(n_shared AS DOUBLE) / n_eval_ngrams AS contam_frac
       FROM shared JOIN es USING (eval_doc_id)
-      ORDER BY doc_id, eval_doc_id"""))
+      ORDER BY doc_id, eval_doc_id""")),
+
+    // ----- mixing APPLY: deterministic hash-Bernoulli sampling -----------
+    ("q110_mix_sampling_apply", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // q107 computes the temperature weights; this applies them — each
+      // doc is kept iff md5(doc_id)/2^32 < its source's weight, so the
+      // sample is deterministic, seedless, and reproducible on any
+      // engine. Two passes by design: pass 1 aggregates the 20-row
+      // weight table (broadcast), pass 2 applies it row-wise — the only
+      // one-pass alternative is a corpus-wide unpartitioned window.
+      // The hash fraction is an exact 2^32 division; the weight chain is
+      // the q107-verified sqrt/division form.
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"source", tokCount(TA.normText($"text")).as("n_tokens"))
+      val perSrc = docs.groupBy($"source").agg(sum($"n_tokens").as("src_tokens"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val weights = perSrc
+        .withColumn("tot_tokens", sum($"src_tokens").over(wAll))
+        .withColumn("max_tokens", max($"src_tokens").over(wAll))
+        .select($"source",
+          (sqrt($"src_tokens".cast("double") / $"tot_tokens") /
+            sqrt($"max_tokens".cast("double") / $"tot_tokens")).as("mix_weight"))
+      val hashed = docs.join(broadcast(weights), Seq("source"))
+        .withColumn("h01",
+          conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long").cast("double") / 4294967296.0)
+      hashed.groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when($"h01" < $"mix_weight", 1L).otherwise(0L)).as("n_kept"),
+          sum(when($"h01" < $"mix_weight", $"n_tokens").otherwise(lit(0L))).as("kept_tokens"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, source, CAST($tokCountSql AS BIGINT) AS n_tokens
+        FROM documents),
+      s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        FROM d GROUP BY source),
+      t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens,
+          CAST(max(src_tokens) AS BIGINT) AS max_tokens FROM s),
+      w AS (SELECT source,
+          sqrt(CAST(src_tokens AS DOUBLE) / tot_tokens)
+            / sqrt(CAST(max_tokens AS DOUBLE) / tot_tokens) AS mix_weight
+        FROM s CROSS JOIN t),
+      h AS (SELECT d.doc_id, d.source, d.n_tokens, w.mix_weight,
+          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 AS h01
+        FROM d JOIN w USING (source))
+      SELECT source, count(*) AS n_total,
+        CAST(sum(CASE WHEN h01 < mix_weight THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        CAST(sum(CASE WHEN h01 < mix_weight THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      FROM h GROUP BY source ORDER BY source""")),
+
+    // ----- decontamination APPLY: drop flagged docs ----------------------
+    ("q111_decontaminate_apply", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // the apply step over q108's screen: a corpus doc is removed when
+      // it shares >= 2 distinct n-grams with ANY eval doc (integer
+      // threshold — no fraction compare). Output is the full corpus
+      // verdict list: every non-eval doc with its eval-hit count and
+      // removed flag, so the surviving corpus is `removed = 0`.
+      val n = 3
+      def ngrams(df: DataFrame): DataFrame = df
+        .select($"doc_id", split(TA.normText($"text"), " ").as("a"))
+        .filter(size($"a") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(a) - ${n - 1}), j -> array_join(slice(a, j, $n), ' '))"))
+          .as("ngram"))
+        .distinct()
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+      val corpus = docs.filter($"doc_id" % 97 =!= 0)
+      val evalGrams = ngrams(docs.filter($"doc_id" % 97 === 0))
+        .withColumnRenamed("doc_id", "eval_doc_id")
+      val hits = ngrams(corpus).join(evalGrams, Seq("ngram"))
+        .groupBy($"doc_id", $"eval_doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= 2)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_eval_hits"))
+      corpus.select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_eval_hits", lit(0L)).as("n_eval_hits"),
+          when(coalesce($"n_eval_hits", lit(0L)) > 0, 1L).otherwise(0L).as("removed"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS a
+        FROM documents WHERE len(string_split($normSql, ' ')) >= 3),
+      pos AS (SELECT doc_id, a, unnest(range(1, len(a) - 1)) AS j FROM base),
+      grams AS (SELECT DISTINCT doc_id,
+          array_to_string(list_slice(a, CAST(j AS INT), CAST(j + 2 AS INT)), ' ') AS ngram
+        FROM pos),
+      corpus AS (SELECT * FROM grams WHERE doc_id % 97 <> 0),
+      ev AS (SELECT doc_id AS eval_doc_id, ngram FROM grams WHERE doc_id % 97 = 0),
+      pairs AS (SELECT c.doc_id, e.eval_doc_id, count(*) AS n_shared
+        FROM corpus c JOIN ev e USING (ngram) GROUP BY 1, 2),
+      hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_hits
+        FROM pairs WHERE n_shared >= 2 GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+        CAST(CASE WHEN COALESCE(h.n_eval_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS removed
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0
+      ORDER BY d.doc_id"""))
   )
 }
