@@ -45,16 +45,63 @@ object Pagination {
     }.toArray
   }
 
+  /** LIMIT-clause dialect for generated page SQL: the source the
+    * reference reads speaks MySQL (`LIMIT off,n`); everything else gets
+    * the ANSI form (`OFFSET … FETCH`), which Derby/PG/Oracle 12c+ all
+    * accept — what makes the page planner testable against an embedded
+    * database. */
+  sealed trait LimitDialect { def clause(offset: Long, n: Long): String }
+  case object MySqlLimit extends LimitDialect {
+    override def clause(offset: Long, n: Long): String = s"LIMIT $offset,$n"
+  }
+  case object AnsiLimit extends LimitDialect {
+    override def clause(offset: Long, n: Long): String =
+      s"OFFSET $offset ROWS FETCH NEXT $n ROWS ONLY"
+  }
+
+  /** Dialect inferred from a JDBC url. */
+  def dialectFor(url: String): LimitDialect =
+    if (url.startsWith("jdbc:mysql")) MySqlLimit else AnsiLimit
+
   /** LIMIT/OFFSET fallback predicates in the reference's exact shape
     * (cmd/root.go:381-384), for composite / non-numeric PKs where range
     * slicing does not apply. Returned as full page SQLs. */
   def deferredJoinPageSql(table: String, pkCols: Seq[String], pageSize: Long,
-                          totalRows: Long): Array[String] = {
+                          totalRows: Long,
+                          dialect: LimitDialect = MySqlLimit): Array[String] = {
     val keyList = pkCols.mkString(",")
     val onCond = pkCols.map(c => s"temp.$c = t.$c").mkString(" and ")
     (0L until pageCount(totalRows, pageSize)).map { p =>
       s"SELECT $SqlTag t.* FROM (SELECT $keyList FROM $table ORDER BY $keyList " +
-        s"LIMIT ${p * pageSize},$pageSize) temp LEFT JOIN $table t ON $onCond"
+        s"${dialect.clause(p * pageSize, pageSize)}) temp LEFT JOIN $table t ON $onCond"
+    }.toArray
+  }
+
+  /** The same page list as WHERE *predicates* for a single
+    * `spark.read.jdbc(url, table, predicates, props)` call — one scan
+    * relation with one JDBC partition per page, so the plan stays FLAT at
+    * any page count. (The alternative — one DataFrame per page SQL
+    * unioned together — builds an N-deep union whose analysis cost grows
+    * superlinearly; at 10k pages for a 1B-row composite-PK table the
+    * driver chokes before the first byte moves.)
+    *
+    * Each predicate is the deferred join turned inside out: an
+    * EXISTS-correlated membership test against the page's key slice.
+    * Inner key columns are aliased k0..kn so the unqualified side of the
+    * correlation binds to the OUTER scanned table — the source database
+    * materializes the tiny key slice once per page query and probes it,
+    * the same access path as the reference's LEFT JOIN page SQL
+    * (cmd/root.go:382) without needing to rewrite the FROM clause Spark
+    * owns. */
+  def deferredJoinPredicates(table: String, pkCols: Seq[String], pageSize: Long,
+                             totalRows: Long,
+                             dialect: LimitDialect = MySqlLimit): Array[String] = {
+    val keyList = pkCols.mkString(",")
+    val aliased = pkCols.zipWithIndex.map { case (c, i) => s"$c AS k$i" }.mkString(",")
+    val corr = pkCols.zipWithIndex.map { case (c, i) => s"temp.k$i = $c" }.mkString(" AND ")
+    (0L until pageCount(totalRows, pageSize)).map { p =>
+      s"$SqlTag EXISTS (SELECT 1 FROM (SELECT $aliased FROM $table ORDER BY $keyList " +
+        s"${dialect.clause(p * pageSize, pageSize)}) temp WHERE $corr)"
     }.toArray
   }
 

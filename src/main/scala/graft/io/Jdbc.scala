@@ -47,11 +47,15 @@ object Jdbc {
       spark.read.jdbc(conn.url, table,
         Pagination.rangePredicates(pkCols.head, pkMin, pkMax, pages), conn.props)
     } else {
-      // one DataFrame per deferred-join page, unioned; each page SQL is a
-      // separate JDBC partition via the predicates trick on a constant
-      val pageSqls = Pagination.deferredJoinPageSql(table, pkCols, pageSize, rowCount)
-      pageSqls.map(sql => spark.read.jdbc(conn.url, s"($sql) page", conn.props))
-        .reduce(_ unionByName _)
+      // one predicates-array read: every deferred-join page is a WHERE
+      // predicate on a SINGLE scan relation — one JDBC partition per
+      // page, and the plan stays flat at any page count (a union of
+      // per-page DataFrames would grow an N-deep union plan whose
+      // analysis cost explodes at 10k+ pages)
+      spark.read.jdbc(conn.url, table,
+        Pagination.deferredJoinPredicates(table, pkCols, pageSize, rowCount,
+          Pagination.dialectFor(conn.url)),
+        conn.props)
     }
   }
 
