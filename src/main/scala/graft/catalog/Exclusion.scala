@@ -7,6 +7,11 @@ import org.apache.spark.sql.functions._
   * each configured pattern excludes matching table names; `*` is the
   * wildcard (mapped to SQL LIKE `%`). Expressed as a single conjunctive
   * Column predicate so Catalyst can push it into the scan.
+  *
+  * Matching is CASE-INSENSITIVE: the reference evaluates exclusion as
+  * MySQL `table_name NOT LIKE '...'`, and MySQL's default `*_ci`
+  * collations compare case-insensitively — `exclude: LOG*` skips `log1`
+  * there, so it must here too.
   */
 object Exclusion {
 
@@ -16,7 +21,8 @@ object Exclusion {
   /** Conjunction of NOT LIKE predicates over `c`. Empty pattern list → keep
     * everything. */
   def excludePredicate(c: Column, patterns: Seq[String]): Column =
-    patterns.foldLeft(lit(true))((acc, p) => acc && !c.like(toLikePattern(p)))
+    patterns.foldLeft(lit(true))((acc, p) =>
+      acc && !lower(c).like(toLikePattern(p).toLowerCase))
 
   def filterExcluded(df: DataFrame, nameCol: String, patterns: Seq[String]): DataFrame =
     df.filter(excludePredicate(col(nameCol), patterns))
@@ -31,7 +37,8 @@ object Exclusion {
       case '_' => sb.append('.')
       case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
     }
-    java.util.regex.Pattern.compile(sb.toString, java.util.regex.Pattern.DOTALL)
+    java.util.regex.Pattern.compile(sb.toString,
+      java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE)
   }
 
   /** Driver-side keep-predicate over table names (cmd/root.go:227-246).

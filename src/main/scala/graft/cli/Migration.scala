@@ -118,14 +118,15 @@ object Migration {
     /** Work list: configured custom tables, else full catalog minus
       * exclusions (fetchTableMap, root.go:218-291). Exclusion matching is
       * a compiled driver-side predicate — table names are metadata, not
-      * data, so this runs zero Spark jobs regardless of catalog size. */
-    def workList: Seq[String] = {
-      val all =
-        if (cfg.selFromYml) cfg.tables.keys.toSeq // -s: names come from yml only (root.go:97)
-        else if (cfg.tables.nonEmpty) cfg.tables.keys.toSeq
-        else source.tableNames
-      all.filter(Exclusion.compiledKeep(cfg.exclude)).sorted
-    }
+      * data, so this runs zero Spark jobs regardless of catalog size.
+      *
+      * Exclusion applies ONLY to the full-catalog scan: the reference
+      * filters inside fetchTableMap (root.go:227-246) but takes -s /
+      * `tables:` names verbatim (root.go:97) — an explicitly configured
+      * table is never silently dropped by an exclude pattern. */
+    def workList: Seq[String] =
+      if (cfg.selFromYml || cfg.tables.nonEmpty) cfg.tables.keys.toSeq.sorted
+      else source.tableNames.filter(Exclusion.compiledKeep(cfg.exclude)).sorted
 
     /** Phase 1: CREATE TABLE on the target, one concurrent worker per
       * table (`go db.TableCreate`, tablemeta.go:48-154; pool root.go:138-150).

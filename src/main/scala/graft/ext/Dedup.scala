@@ -87,10 +87,19 @@ object Dedup {
       docs.select(col("id"), shingleHashes(col("shingles")).as("hs")),
       nBands, threshold)
 
-  /** The pipeline over pre-hashed docs (id, hs: array<long>). */
+  /** The pipeline over pre-hashed docs (id, hs: array<long>).
+    *
+    * The (id, hs) projection is read three times (band explode + both
+    * sides of the verify join-back), so it is materialized ONCE via
+    * localCheckpoint — not cache(): a cached plan stays registered in the
+    * session's CacheManager for the session lifetime, so per-invocation
+    * cache() calls accumulate storage forever, while checkpoint blocks
+    * are released by the ContextCleaner as soon as the returned
+    * DataFrame is unreferenced (same rationale as ivfTopKKmeans,
+    * Similarity.scala). */
   def minhashLshPairsHashed(hashedDocs: DataFrame, nBands: Int,
                             threshold: Double): DataFrame = {
-    val hs = hashedDocs.select(col("id"), col("hs")).cache()
+    val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
     val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
     val bands = (0 until nBands).map(b =>
       struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))

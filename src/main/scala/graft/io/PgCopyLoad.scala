@@ -12,12 +12,13 @@ import org.apache.spark.sql.{DataFrame, Row}
   * leaves no partial page and retries cleanly.
   *
   * Exactly-once caveat (same exposure as any non-transactional sink): a
-  * task that dies AFTER commit but before reporting success, or a
-  * speculative duplicate of a slow task, would load its partition twice.
-  * Run the data phase with speculation off (Spark's default) and rely on
-  * the phase-level truncate-first re-run for recovery; true exactly-once
-  * needs target-side staging tables, which the reference does not use
-  * either.
+  * task that dies AFTER commit but before reporting success would load
+  * its partition twice on retry. The speculative-duplicate variant of
+  * that exposure is guarded: copyInto refuses to run when
+  * spark.speculation is enabled (assertNoSpeculation below). Recovery
+  * for the remaining window is the phase-level truncate-first re-run;
+  * true per-retry exactly-once is what the ledgered streaming variant
+  * (copyIntoLedgered) provides.
   *
   * The transport is an interface so the engine compiles and is fully
   * testable without the PostgreSQL driver on the classpath; the pgjdbc
@@ -28,8 +29,10 @@ trait CopyTransport extends AutoCloseable {
   def begin(copySql: String): Unit
   /** Stream one buffered chunk of encoded rows. */
   def write(bytes: Array[Byte], off: Int, len: Int): Unit
-  /** End the COPY stream and commit the transaction. */
-  def commit(): Unit
+  /** End the COPY stream, execute `sideSqls` on the SAME connection, then
+    * commit — the data and the side statements (e.g. a batch-ledger
+    * insert) are one atomic transaction. */
+  def commit(sideSqls: Seq[String] = Nil): Unit
   /** Abort the COPY stream and roll the transaction back. */
   def rollback(): Unit
 }
@@ -41,6 +44,17 @@ trait CopyTransportFactory extends Serializable {
 
 object PgCopyLoad {
 
+  /** A speculative duplicate of a slow task would COPY its partition
+    * TWICE (each task commits its own transaction; there is no task-id
+    * dedup). Refuse loudly up front rather than double-load — the data
+    * phase must run with speculation off (Spark's default), or stage
+    * partitions into task-unique temp tables (not implemented; the
+    * reference has no equivalent either). */
+  private[io] def assertNoSpeculation(conf: org.apache.spark.SparkConf): Unit =
+    require(!conf.getBoolean("spark.speculation", defaultValue = false),
+      "COPY bulk load refuses to run with spark.speculation=true: a " +
+        "speculative duplicate of a slow task would load its partition twice")
+
   /** Stream `df` into `table` via COPY. Rows are encoded with
     * `PgCopyText.encodeRow` and flushed in ~`flushBytes` chunks (the
     * buffering the reference gets from pq's internal message buffer).
@@ -48,35 +62,68 @@ object PgCopyLoad {
     * second scan of the input. */
   def copyInto(df: DataFrame, table: String, factory: CopyTransportFactory,
                flushBytes: Int = 64 * 1024): Long = {
+    assertNoSpeculation(df.sparkSession.sparkContext.getConf)
     val stmt = PgCopyText.copyStatement(table, df.columns.toSeq)
     val rows = df.sparkSession.sparkContext.longAccumulator("graft-copy-rows")
     df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val t = factory.open()
-        var ok = false
-        try {
-          t.begin(stmt)
-          val buf = new ByteArrayOutputStream(flushBytes + 4096)
-          var n = 0L
-          it.foreach { row =>
-            buf.write(PgCopyText.encodeRow(row).getBytes(StandardCharsets.UTF_8))
-            buf.write('\n')
-            n += 1
-            if (buf.size >= flushBytes) {
-              val b = buf.toByteArray; t.write(b, 0, b.length); buf.reset()
-            }
-          }
-          if (buf.size > 0) { val b = buf.toByteArray; t.write(b, 0, b.length) }
-          t.commit()
-          rows.add(n)
-          ok = true
-        } finally {
-          if (!ok) try t.rollback() catch { case _: Throwable => () }
-          t.close()
-        }
-      }
+      if (it.hasNext)
+        rows.add(streamPartition(it, stmt, factory, flushBytes, Nil))
     }
     rows.value
+  }
+
+  /** Exactly-once variant for the streaming sink (CopyStream): a
+    * partition whose (batchId, partitionId) is already in the ledger is
+    * skipped, and for the rest the ledger insert executes INSIDE the
+    * partition's COPY transaction — data and ledger entry commit
+    * atomically. A micro-batch retry after a partial failure therefore
+    * re-loads exactly the partitions that did not commit, and a crash at
+    * any point leaves each partition either fully loaded + recorded or
+    * untouched. (Relies on Structured Streaming's replay contract: a
+    * replayed batch id re-presents the same data with the same
+    * deterministic partitioning.) */
+  def copyIntoLedgered(df: DataFrame, table: String,
+                       factory: CopyTransportFactory, ledger: BatchLedger,
+                       batchId: Long, flushBytes: Int = 64 * 1024): Long = {
+    assertNoSpeculation(df.sparkSession.sparkContext.getConf)
+    val stmt = PgCopyText.copyStatement(table, df.columns.toSeq)
+    val rows = df.sparkSession.sparkContext.longAccumulator("graft-copy-rows")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      if (it.hasNext && !ledger.committed(batchId, pid))
+        rows.add(streamPartition(it, stmt, factory, flushBytes,
+          Seq(ledger.recordSql(batchId, pid))))
+    }
+    rows.value
+  }
+
+  /** One partition's COPY: begin → encode/flush → commit(sideSqls), with
+    * rollback on any failure. Returns rows streamed. */
+  private def streamPartition(it: Iterator[Row], stmt: String,
+                              factory: CopyTransportFactory, flushBytes: Int,
+                              sideSqls: Seq[String]): Long = {
+    val t = factory.open()
+    var ok = false
+    var n = 0L
+    try {
+      t.begin(stmt)
+      val buf = new ByteArrayOutputStream(flushBytes + 4096)
+      it.foreach { row =>
+        buf.write(PgCopyText.encodeRow(row).getBytes(StandardCharsets.UTF_8))
+        buf.write('\n')
+        n += 1
+        if (buf.size >= flushBytes) {
+          val b = buf.toByteArray; t.write(b, 0, b.length); buf.reset()
+        }
+      }
+      if (buf.size > 0) { val b = buf.toByteArray; t.write(b, 0, b.length) }
+      t.commit(sideSqls)
+      ok = true
+    } finally {
+      if (!ok) try t.rollback() catch { case _: Throwable => () }
+      t.close()
+    }
+    n
   }
 }
 
@@ -114,8 +161,15 @@ final class PgJdbcCopyTransport(url: String, user: String, password: String)
   override def write(bytes: Array[Byte], off: Int, len: Int): Unit =
     writeToCopy.invoke(copyIn, bytes, Integer.valueOf(off), Integer.valueOf(len))
 
-  override def commit(): Unit = {
+  override def commit(sideSqls: Seq[String]): Unit = {
+    // order matters: the COPY stream must END before the connection can
+    // run other statements (pgjdbc locks the connection during COPY);
+    // the ledger insert then lands INSIDE the still-open transaction
     endCopy.invoke(copyIn)
+    if (sideSqls.nonEmpty) {
+      val st = conn.createStatement()
+      try sideSqls.foreach(st.execute) finally st.close()
+    }
     conn.commit()
   }
 

@@ -44,6 +44,14 @@ object PgCopyText {
     case t: Timestamp =>
       TsFormat.format(t.toInstant.atOffset(ZoneOffset.UTC))
     case s: String => escapeField(s)
+    // non-scalar values have no COPY text form — `toString` would load
+    // "WrappedArray(...)" garbage (or be rejected) target-side; fail at
+    // encode time with a fixable message instead
+    case _: scala.collection.Seq[_] | _: Array[_] | _: java.util.List[_] |
+         _: scala.collection.Map[_, _] | _: java.util.Map[_, _] | _: Row =>
+      throw new IllegalArgumentException(
+        s"COPY text cannot encode non-scalar value of type ${v.getClass.getName}; " +
+          "flatten array/struct/map columns (e.g. to_json) before the bulk load")
     case other => escapeField(other.toString)
   }
 

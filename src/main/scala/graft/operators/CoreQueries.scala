@@ -87,7 +87,8 @@ object CoreQueries {
         .orderBy("source")
     }, Some("""
       SELECT source, count(*) AS n_docs FROM documents
-      WHERE source NOT LIKE 'src1' AND source NOT LIKE 'src1%' AND source NOT LIKE '%2'
+      WHERE lower(source) NOT LIKE 'src1' AND lower(source) NOT LIKE 'src1%'
+        AND lower(source) NOT LIKE '%2'
       GROUP BY source ORDER BY source""")),
 
     // ----- A3: ordered GROUP_CONCAT via the sort-by-struct idiom ---------

@@ -23,6 +23,16 @@ class ExclusionSpec extends AnyFunSuite {
     assert(Exclusion.filterExcluded(df, "table_name", Nil).count() == 5)
   }
 
+  test("exclusion is case-insensitive, like MySQL *_ci NOT LIKE (root.go:227-246)") {
+    // `exclude: LOG*` skips `log1` under MySQL's default ci collation
+    val df = Seq("log1", "LOG2", "Logical", "keepme").toDF("table_name")
+    val kept = Exclusion.filterExcluded(df, "table_name", Seq("LOG*"))
+      .as[String].collect().toSet
+    assert(kept == Set("keepme"))
+    val keep = Exclusion.compiledKeep(Seq("LOG*"))
+    assert(Seq("log1", "LOG2", "Logical", "keepme").filter(keep) == Seq("keepme"))
+  }
+
   test("compiledKeep parity: driver predicate == Column.like over generated names") {
     // property-style sweep: every (name, pattern-set) pair must agree
     // between the compiled driver-side predicate and the Spark Column

@@ -223,5 +223,11 @@ class MigrationSpec extends AnyFunSuite {
     val rEmpty = new Migration.Runner(spark, cfg.copy(selFromYml = true),
       fixtureSourceFor(Seq("t1")), sink)
     assert(rEmpty.workList.isEmpty)
+    // yml-configured names are taken VERBATIM: exclusion only filters the
+    // full-catalog scan (root.go:227-246), never explicit config (root.go:97)
+    val rVerbatim = new Migration.Runner(spark,
+      cfg.copy(selFromYml = true, tables = Map("log_keep" -> Seq.empty[String])),
+      fixtureSourceFor(Seq("t1")), sink)
+    assert(rVerbatim.workList == Seq("log_keep"))
   }
 }

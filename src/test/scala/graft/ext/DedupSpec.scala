@@ -16,6 +16,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhashLshPairs finds exact duplicates with jaccard 1.0") {
+    spark.catalog.clearCache() // isolate the CacheManager assertion below
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
       (1L, base), (2L, base),                       // exact dup pair
@@ -26,6 +27,11 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length == 1)
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
     assert(pairs.head.getDouble(2) == 1.0)
+    // the internal materialization must NOT register in the CacheManager:
+    // a cache() there would accumulate one storage entry per invocation
+    // for the session's lifetime (checkpoint blocks are cleaner-released)
+    assert(org.apache.spark.sql.CacheIntrospect.cacheIsEmpty(spark),
+      "minhashLshPairs must not leave cached plans behind")
   }
 
   test("simhash32: identical docs get identical hashes, 32-bit range") {

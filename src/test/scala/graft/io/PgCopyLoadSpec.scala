@@ -19,11 +19,13 @@ object PgCopyLoadSpec {
     * JVM; local[*] executors are in-process). */
   final case class Recorded(begins: java.util.List[String],
                             chunks: java.util.List[Array[Byte]],
+                            sideSqls: java.util.List[String],
                             var commits: Int, var rollbacks: Int, var closes: Int)
   val recordings = new ConcurrentHashMap[String, Recorded]()
   def recorded(id: String): Recorded = recordings.computeIfAbsent(id, _ =>
     Recorded(new java.util.concurrent.CopyOnWriteArrayList[String](),
-      new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]](), 0, 0, 0))
+      new java.util.concurrent.CopyOnWriteArrayList[Array[Byte]](),
+      new java.util.concurrent.CopyOnWriteArrayList[String](), 0, 0, 0))
 
   final class FakeTransport(id: String, failOnWrite: Boolean) extends CopyTransport {
     private val r = recorded(id)
@@ -32,7 +34,8 @@ object PgCopyLoadSpec {
       if (failOnWrite) throw new RuntimeException("injected transport failure")
       r.chunks.add(java.util.Arrays.copyOfRange(bytes, off, off + len))
     }
-    override def commit(): Unit = r.synchronized { r.commits += 1 }
+    override def commit(sideSqls: Seq[String]): Unit =
+      r.synchronized { r.commits += 1; sideSqls.foreach(r.sideSqls.add) }
     override def rollback(): Unit = r.synchronized { r.rollbacks += 1 }
     override def close(): Unit = r.synchronized { r.closes += 1 }
   }
@@ -94,5 +97,14 @@ class PgCopyLoadSpec extends AnyFunSuite {
     PgCopyLoad.copyInto(df, "t4", new FakeFactory("sparse"))
     val r = recorded("sparse")
     assert(r.begins.size == 1, "only the non-empty partition may open a connection")
+  }
+
+  test("refuses to run under speculative execution (duplicate-load guard)") {
+    val on = new org.apache.spark.SparkConf().set("spark.speculation", "true")
+    val e = intercept[IllegalArgumentException] { PgCopyLoad.assertNoSpeculation(on) }
+    assert(e.getMessage.contains("speculation"))
+    PgCopyLoad.assertNoSpeculation(new org.apache.spark.SparkConf()) // default: fine
+    // and the live session (speculation off) passes through the guard
+    PgCopyLoad.copyInto(Seq((1L, "x")).toDF("id", "v"), "t5", new FakeFactory("spec"))
   }
 }

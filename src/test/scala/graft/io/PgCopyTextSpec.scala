@@ -33,4 +33,15 @@ class PgCopyTextSpec extends AnyFunSuite {
     assert(PgCopyText.copyStatement("t1", Seq("id", "name"))
       == """COPY "t1" ("id", "name") FROM STDIN""")
   }
+
+  test("non-scalar values fail fast instead of encoding toString garbage") {
+    // a custom per-table SQL can surface array/struct/map columns; their
+    // toString would COPY as e.g. "WrappedArray(...)" varchar garbage
+    intercept[IllegalArgumentException] { PgCopyText.encodeValue(Seq(1, 2)) }
+    intercept[IllegalArgumentException] { PgCopyText.encodeValue(Array(1, 2)) }
+    intercept[IllegalArgumentException] { PgCopyText.encodeValue(Map("a" -> 1)) }
+    intercept[IllegalArgumentException] { PgCopyText.encodeValue(Row(1, "x")) }
+    // bytea (Array[Byte]) keeps its dedicated encoding
+    assert(PgCopyText.encodeValue(Array[Byte](1)) == "\\\\x01")
+  }
 }
