@@ -163,6 +163,40 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
   }
 
+  /** IVF multi-probe top-k: each query searches its `nprobe` NEAREST
+    * cells instead of only its own — the standard IVF recall/cost dial
+    * (a true neighbor near a cell boundary lives in the second-nearest
+    * cell more often than not; probing the top-p cells recovers it for
+    * p× the candidates, still O(N·k·p/C) total). The query side becomes
+    * nprobe (cluster_id, query) probe rows via a rank over the broadcast
+    * centroid scores; the candidate side stays the top-1 cell assignment,
+    * so the search join remains a cluster_id equi-join and each (q, c)
+    * pair appears at most once (a candidate lives in exactly one cell) —
+    * no dedup pass needed, unlike multi-probe LSH where buckets overlap. */
+  def ivfTopKMultiProbe(prepared: DataFrame, centroidPred: Column, nprobe: Int,
+                        queryPred: Column, k: Int): DataFrame = {
+    val cent = prepared.filter(centroidPred)
+      .select(col("id").as("cent_id"), col("qvec").as("cent_vec"), col("n2").as("cent_n2"))
+    val assigned = ivfAssignWith(prepared, cent)
+    val qScored = prepared.filter(queryPred).crossJoin(broadcast(cent))
+      .select(col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"),
+        col("cent_id"),
+        cosine(dot(col("qvec"), col("cent_vec")), col("n2"), col("cent_n2")).as("cent_cos"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+    val probes = qScored.withColumn("__p", row_number().over(wp))
+      .filter(col("__p") <= nprobe)
+      .select(col("cent_id").as("cluster_id"), col("q_id"), col("q_vec"), col("q_n2"))
+    val c = assigned
+      .select(col("cluster_id"), col("id").as("c_id"), col("qvec").as("c_vec"), col("n2").as("c_n2"))
+    val scored = c.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        cosine(dot(col("q_vec"), col("c_vec")), col("q_n2"), col("c_n2")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos_sim"))
+  }
+
   /** Deterministic Lloyd k-means over the quantized vectors: centroids
     * initialize from the rows matching `initPred` (the standard seed-
     * by-sample), then `iters` rounds of assign (max cosine, ties to the

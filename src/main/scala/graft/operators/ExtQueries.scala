@@ -329,6 +329,34 @@ object ExtQueries {
         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
       SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
 
+    // ----- similarity: IVF multi-probe (nprobe=2) ANN top-k --------------
+    ("q112_ann_ivf_multiprobe", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      Similarity.ivfTopKMultiProbe(prepared, col("id") % 50 === 0, nprobe = 2,
+        queryPred = col("id") % 100 === 0, k = 3)
+        .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some(s"""
+      WITH $prepSql,
+      cent AS (SELECT vec_id AS cent_id, qvec AS cent_vec, n2 AS cent_n2
+        FROM n WHERE vec_id % 50 = 0),
+      scored0 AS (SELECT n.vec_id, n.qvec, n.n2, cent.cent_id,
+        list_dot_product(n.qvec, cent.cent_vec) / sqrt(n.n2 * cent.cent_n2) AS cent_cos
+        FROM n, cent),
+      assigned AS (SELECT vec_id, qvec, n2, cent_id AS cluster_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r
+        FROM scored0) WHERE r = 1),
+      probes AS (SELECT cent_id AS cluster_id, vec_id AS q_id, qvec AS q_vec, n2 AS q_n2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS r
+        FROM scored0 WHERE vec_id % 100 = 0) WHERE r <= 2),
+      scored AS (SELECT p.q_id, c.vec_id AS c_id,
+        list_dot_product(p.q_vec, c.qvec) / sqrt(p.q_n2 * c.n2) AS cos_sim
+        FROM assigned c JOIN probes p ON c.cluster_id = p.cluster_id AND p.q_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+
     // ----- similarity: k-means-trained IVF ANN top-k ---------------------
     ("q47_ann_ivf_kmeans", (s: SparkSession, dir: String) => {
       import s.implicits._

@@ -101,6 +101,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"k-means training chain leaked into the search plan:\n$plan")
   }
 
+  test("q112 multi-probe search join is a broadcast equi-join on cluster_id") {
+    val df = SparkEntry.queries("q112_ann_ivf_multiprobe")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the probe side (nprobe rows per query) must broadcast into an
+    // equi-join against the cell assignment — BHJ, not a cartesian
+    assert(plan.contains("BroadcastHashJoin"), s"search join not a broadcast equi-join:\n$plan")
+  }
+
   test("q86 tf-idf folds the corpus count into the DAG (no driver-side count job)") {
     val df = SparkEntry.queries("q86_tfidf")(spark, TestSpark.Sf)
     // n_docs must be a scalar aggregate INSIDE the plan (the oracle's

@@ -109,4 +109,47 @@ class SimilaritySpec extends AnyFunSuite {
     // is the operator's parameter, not a fixed property.
     assert(meanRecall >= 0.4, f"mean recall@5 = $meanRecall%.3f")
   }
+
+  test("ANN quality: IVF nprobe=2 recall@3 beats nprobe=1 vs brute force") {
+    import graft.Tables
+    val prepared = Similarity.prepare(
+      Tables.spread(Tables.t(spark, "/root/testdata/sf0.01", "embeddings")),
+      "vec_id", "embedding")
+    // 50 centroids over ~500 vectors: ~10-vector cells, small enough
+    // that some true neighbors land across a cell boundary (with 10 fat
+    // cells nprobe=1 is already perfect and the dial has nothing to buy)
+    val centroidPred = col("id") % 10 === 0
+    val queryPred = col("id") % 100 === 0
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"q_id", $"c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(prepared.filter(queryPred), prepared, k = 3))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r1 = recall(topSets(Similarity.ivfTopK(prepared, centroidPred, queryPred, k = 3)))
+    val r2 = recall(topSets(Similarity.ivfTopKMultiProbe(prepared, centroidPred,
+      nprobe = 2, queryPred, k = 3)))
+    // probing the 2nd-nearest cell recovers boundary neighbors: the dial
+    // must move recall strictly upward on this corpus (deterministic
+    // data, so both numbers reproduce exactly)
+    assert(r2 > r1, f"nprobe=2 recall $r2%.3f must beat nprobe=1 $r1%.3f")
+    assert(r2 >= 0.5, f"nprobe=2 recall@3 = $r2%.3f")
+  }
+
+  test("ivfTopKMultiProbe: probe-1 results equal the nprobe=1 search") {
+    // with nprobe=1 the multi-probe form must degenerate to ivfTopK
+    // exactly (same cells, same ranking, same ties)
+    val prepared = Similarity.prepare(
+      graft.Tables.spread(graft.Tables.t(spark, graft.TestSpark.Sf, "embeddings")),
+      "vec_id", "embedding")
+    val a = Similarity.ivfTopK(prepared, col("id") % 50 === 0, col("id") % 100 === 0, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    val b = Similarity.ivfTopKMultiProbe(prepared, col("id") % 50 === 0, nprobe = 1,
+      col("id") % 100 === 0, k = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a == b)
+  }
 }
