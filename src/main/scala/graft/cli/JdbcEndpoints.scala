@@ -18,8 +18,17 @@ import graft.types.ColumnMeta
   * are compile-verified; the Migration pipeline itself is exercised in
   * tests through fixture-backed CatalogSource/MigrationSink.
   */
-final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig) extends Migration.CatalogSource {
-  private val conn = Jdbc.ConnInfo(cfg.src.mysqlJdbcUrl, cfg.src.username, cfg.src.password)
+final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig,
+                              urlOverride: Option[String] = None)
+    extends Migration.CatalogSource {
+  private val conn = Jdbc.ConnInfo(urlOverride.getOrElse(cfg.src.mysqlJdbcUrl),
+    cfg.src.username, cfg.src.password)
+
+  /** Identifier quote for generated probe SQL: backtick on MySQL, the
+    * standard double quote elsewhere (lets the whole catalog+data path
+    * run against an embedded information_schema fixture in tests). */
+  private val qc = if (conn.url.startsWith("jdbc:mysql")) "`" else "\""
+  private def q(id: String): String = s"$qc$id$qc"
 
   private def schemaTable(name: String): DataFrame =
     spark.read.jdbc(conn.url, s"information_schema.$name", conn.props)
@@ -66,7 +75,8 @@ final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig) extends Mig
     if (pkNumeric) {
       val k = pk.head
       val stats = spark.read.jdbc(conn.url,
-        s"(select ${graft.catalog.Pagination.SqlTag} count(*) c, min(`$k`) mn, max(`$k`) mx from `$table`) t",
+        s"(select ${graft.catalog.Pagination.SqlTag} count(*) c, " +
+          s"min(${q(k)}) mn, max(${q(k)}) mx from ${q(table)}) t",
         conn.props).collect().head
       val rows = Option(stats.get(0)).fold(0L)(_.toString.toLong)
       val mn = Option(stats.get(1)).fold(0L)(_.toString.toLong)
@@ -75,7 +85,8 @@ final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig) extends Mig
         rowCount = rows, pkMin = mn, pkMax = mx, pageSize = cfg.pageSize)
     } else {
       val stats = spark.read.jdbc(conn.url,
-        s"(select ${graft.catalog.Pagination.SqlTag} count(*) c from `$table`) t", conn.props).collect().head
+        s"(select ${graft.catalog.Pagination.SqlTag} count(*) c from ${q(table)}) t",
+        conn.props).collect().head
       val rows = stats.get(0).toString.toLong
       Jdbc.readTable(spark, conn, table, pk, pkIsNumeric = false,
         rowCount = rows, pkMin = 0, pkMax = 0, pageSize = cfg.pageSize)
@@ -160,6 +171,39 @@ final class JdbcSink(spark: SparkSession, cfg: GraftConfig) extends Migration.Mi
     // COPY bulk load, truncate-first (root.go:297,412); row count comes
     // from the write itself — no second scan of the source
     Jdbc.writeTableCopy(df, conn, table, truncate = true)
+  }
+
+  override def rowCount(table: String): Option[Long] = Try {
+    spark.read.jdbc(conn.url, s"""(select count(*) c from "$table") t""", conn.props)
+      .collect().head.get(0).toString.toLong
+  }.toOption
+}
+
+/** Portable sink (K1 mode A): batched INSERT through Spark's JDBC writer
+  * — for targets without the PG COPY protocol (and the embedded-Derby
+  * integration test). Same DDL/rowCount surface as JdbcSink. */
+final class JdbcInsertSink(spark: SparkSession, url: String,
+                           user: String, password: String)
+    extends Migration.MigrationSink {
+  private val conn = Jdbc.ConnInfo(url, user, password)
+  private val ddl = new Jdbc.DdlExecutor(conn)
+
+  override def executeDdl(sql: String): Try[Unit] = Try {
+    var err: Throwable = null
+    ddl.execute(Seq(sql))((_, e) => err = e)
+    if (err != null) throw err
+  }
+
+  override def writeTable(table: String, df: DataFrame): Try[Long] = Try {
+    // Overwrite mode would silently CREATE a missing target table (with
+    // Spark-inferred DDL); the migration contract is the reference's
+    // (root.go:412): data loads into the table phase 1 created, or the
+    // table is a counted failure
+    if (rowCount(table).isEmpty)
+      throw new IllegalStateException(s"target table $table does not exist")
+    // the created DDL quotes lowercase identifiers, so the writer must too
+    Jdbc.writeTable(df, conn, s""""$table"""", truncate = true)
+    rowCount(table).getOrElse(0L)
   }
 
   override def rowCount(table: String): Option[Long] = Try {
