@@ -35,7 +35,19 @@ object Bench {
       .mkString("{", ",", "}")
     // total = wall time spent (failures still took their elapsed time)
     val total = results.map(r => math.abs(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // persist the COMPLETE artifact too: the driver captures stdout with
+    // a bounded tail, which truncates at this battery size — the file is
+    // the authoritative per-query record (override path via env)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
