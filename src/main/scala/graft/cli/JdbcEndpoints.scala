@@ -14,9 +14,11 @@ import graft.types.ColumnMeta
   * become filtered DataFrame reads over `information_schema`, letting
   * Catalyst push the predicates down to MySQL.
   *
-  * No MySQL/PG is reachable in this build environment, so these classes
-  * are compile-verified; the Migration pipeline itself is exercised in
-  * tests through fixture-backed CatalogSource/MigrationSink.
+  * No MySQL/PG is reachable in this build environment; the catalog
+  * queries, page probes, and both page-read strategies run end to end
+  * against an embedded-Derby information_schema fixture in
+  * MigrationEndToEndSpec (plus fixture-backed CatalogSource/
+  * MigrationSink specs) — only the vendor wire protocols stay untested.
   */
 final class JdbcCatalogSource(spark: SparkSession, cfg: GraftConfig,
                               urlOverride: Option[String] = None)

@@ -11,10 +11,10 @@ import graft.catalog.Pagination
   * reference's goroutine-per-page extraction (cmd/root.go:389-516) and
   * COPY bulk load (cmd/root.go:408-511).
   *
-  * No live MySQL/PG exists in this environment, so these paths are
-  * compile-verified and their planning logic (predicate generation) is
-  * unit-tested; the DataFrame surface is identical to the parquet-backed
-  * tests.
+  * No live MySQL/PG exists in this environment; the read paths (both PK
+  * page strategies) run against embedded Derby in JdbcReadSpec and the
+  * full phase chain in MigrationEndToEndSpec — only the two vendor wire
+  * protocols are untested offline.
   */
 object Jdbc {
 
