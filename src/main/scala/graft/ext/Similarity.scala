@@ -249,7 +249,9 @@ object Similarity {
   }
 
   /** k-means-trained IVF top-k: train centroids with `iters` Lloyd
-    * rounds, then nprobe=1 search within the assigned cell.
+    * rounds, then search the query's `nprobe` nearest cells (nprobe=1 =
+    * the assigned cell only; >1 is the same recall/cost dial as
+    * ivfTopKMultiProbe, against trained centroids).
     *
     * The trained centroids and the assignment are both localCheckpointed:
     * the materialized RDD cuts the Lloyd-iteration lineage (so the
@@ -262,11 +264,25 @@ object Similarity {
     * builds a distinct plan, so cache entries would accumulate for the
     * session's lifetime. */
   def ivfTopKKmeans(prepared: DataFrame, initPred: Column, iters: Int,
-                    queryPred: Column, k: Int): DataFrame = {
+                    queryPred: Column, k: Int, nprobe: Int = 1): DataFrame = {
     val cents = kmeansCentroids(prepared, initPred, iters).localCheckpoint()
     val assigned = ivfAssignWith(prepared, cents).localCheckpoint()
-    val q = assigned.filter(queryPred)
-      .select(col("cluster_id"), col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
+    val q =
+      if (nprobe <= 1)
+        assigned.filter(queryPred)
+          .select(col("cluster_id"), col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"))
+      else {
+        // probe rows = rank over the (broadcast, checkpointed) trained
+        // centroids; probe 1 equals the assignment's own cell by the
+        // same (score desc, cent_id) tie rule
+        val qScored = prepared.filter(queryPred).crossJoin(broadcast(cents))
+          .select(col("id").as("q_id"), col("qvec").as("q_vec"), col("n2").as("q_n2"),
+            col("cent_id"),
+            cosine(dot(col("qvec"), col("cent_vec")), col("n2"), col("cent_n2")).as("cent_cos"))
+        val wp = Window.partitionBy(col("q_id")).orderBy(col("cent_cos").desc, col("cent_id"))
+        qScored.withColumn("__p", row_number().over(wp)).filter(col("__p") <= nprobe)
+          .select(col("cent_id").as("cluster_id"), col("q_id"), col("q_vec"), col("q_n2"))
+      }
     val c = assigned
       .select(col("cluster_id"), col("id").as("c_id"), col("qvec").as("c_vec"), col("n2").as("c_n2"))
     val scored = c.join(broadcast(q), Seq("cluster_id"))

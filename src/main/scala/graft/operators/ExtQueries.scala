@@ -403,6 +403,52 @@ object ExtQueries {
       SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
     }),
 
+    // ----- similarity: k-means IVF, multi-probe (nprobe=2) ---------------
+    ("q113_ann_ivf_kmeans_multiprobe", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+        .cache()
+      Similarity.ivfTopKKmeans(prepared, col("id") % 50 === 0, iters = 2,
+        queryPred = col("id") % 100 === 0, k = 3, nprobe = 2)
+        .select($"q_id", $"rank".as("rnk"), $"c_id", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some {
+      // q47's Lloyd template (finer init: ~10 cells) + a probes CTE that
+      // ranks each query's trained-centroid scores and keeps the top 2
+      def iter(i: Int): String = s"""
+      a$i AS (SELECT vec_id, qvec, n2, cent_id AS cluster_id FROM (
+        SELECT n.vec_id, n.qvec, n.n2, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            list_dot_product(n.qvec, c.cvec) / sqrt(n.n2 * c.cn2) DESC, c.cent_id) AS r
+        FROM n, c${i - 1} c) WHERE r = 1),
+      m$i AS (SELECT cluster_id, pos, round(sum(v) / count(*)) AS m FROM (
+        SELECT cluster_id, unnest(qvec) AS v, unnest(range(1, len(qvec) + 1)) AS pos FROM a$i)
+        GROUP BY cluster_id, pos),
+      c$i AS (SELECT cent_id, cvec, list_dot_product(cvec, cvec) AS cn2 FROM (
+        SELECT cluster_id AS cent_id, list(m ORDER BY pos) AS cvec FROM m$i GROUP BY cluster_id))"""
+      s"""
+      WITH $prepSql,
+      c0 AS (SELECT vec_id AS cent_id, qvec AS cvec, n2 AS cn2 FROM n WHERE vec_id % 50 = 0),
+      ${iter(1)},
+      ${iter(2)},
+      afin AS (SELECT vec_id, qvec, n2, cent_id AS cluster_id FROM (
+        SELECT n.vec_id, n.qvec, n.n2, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            list_dot_product(n.qvec, c.cvec) / sqrt(n.n2 * c.cn2) DESC, c.cent_id) AS r
+        FROM n, c2 c) WHERE r = 1),
+      probes AS (SELECT cent_id AS cluster_id, vec_id AS q_id, qvec AS q_vec, n2 AS q_n2 FROM (
+        SELECT n.vec_id, n.qvec, n.n2, c.cent_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            list_dot_product(n.qvec, c.cvec) / sqrt(n.n2 * c.cn2) DESC, c.cent_id) AS r
+        FROM n, c2 c WHERE n.vec_id % 100 = 0) WHERE r <= 2),
+      scored AS (SELECT p.q_id, c.vec_id AS c_id,
+        list_dot_product(p.q_vec, c.qvec) / sqrt(p.q_n2 * c.n2) AS cos_sim
+        FROM afin c JOIN probes p ON c.cluster_id = p.cluster_id AND p.q_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+    }),
+
     // ----- multimodal: binary payload + typed metadata -------------------
     ("q27_multimodal_meta", (s: SparkSession, dir: String) => {
       import s.implicits._

@@ -139,6 +139,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 >= 0.5, f"nprobe=2 recall@3 = $r2%.3f")
   }
 
+  test("ANN quality: k-means IVF nprobe=2 recall@3 beats nprobe=1 vs brute force") {
+    import graft.Tables
+    val prepared = Similarity.prepare(
+      Tables.spread(Tables.t(spark, "/root/testdata/sf0.01", "embeddings")),
+      "vec_id", "embedding").cache()
+    val initPred = col("id") % 10 === 0 // ~50 trained cells: boundaries exist
+    val queryPred = col("id") % 100 === 0
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"q_id", $"c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(prepared.filter(queryPred), prepared, k = 3))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r1 = recall(topSets(Similarity.ivfTopKKmeans(prepared, initPred, iters = 1,
+      queryPred, k = 3)))
+    val r2 = recall(topSets(Similarity.ivfTopKKmeans(prepared, initPred, iters = 1,
+      queryPred, k = 3, nprobe = 2)))
+    prepared.unpersist()
+    assert(r2 > r1, f"trained-IVF nprobe=2 recall $r2%.3f must beat nprobe=1 $r1%.3f")
+  }
+
   test("ivfTopKMultiProbe: probe-1 results equal the nprobe=1 search") {
     // with nprobe=1 the multi-probe form must degenerate to ivfTopK
     // exactly (same cells, same ranking, same ties)
