@@ -40,8 +40,11 @@ object Pagination {
     (0 until pages).map { i =>
       val lo = min + span * i / pages
       val hi = min + span * (i + 1) / pages
-      if (i == pages - 1) s"$pk >= $lo AND $pk <= $max"
-      else s"$pk >= $lo AND $pk < $hi"
+      // the kill marker rides every page predicate too (root.go:394):
+      // without it the PROCESSLIST sweep cannot identify numeric-path
+      // page scans, only deferred-join ones
+      if (i == pages - 1) s"$SqlTag $pk >= $lo AND $pk <= $max"
+      else s"$SqlTag $pk >= $lo AND $pk < $hi"
     }.toArray
   }
 

@@ -15,8 +15,11 @@ class PaginationSpec extends AnyFunSuite {
     assert(Pagination.pageCount(250, 100) == 3)
   }
 
-  test("rangePredicates cover [min,max] with no gaps or overlaps") {
-    val preds = Pagination.rangePredicates("id", 0, 999, 4)
+  test("rangePredicates cover [min,max] with no gaps or overlaps, tagged") {
+    val tagged = Pagination.rangePredicates("id", 0, 999, 4)
+    // every page predicate carries the kill marker (root.go:394)
+    assert(tagged.forall(_.startsWith(Pagination.SqlTag)))
+    val preds = tagged.map(_.stripPrefix(Pagination.SqlTag).trim)
     assert(preds.length == 4)
     assert(preds.head.startsWith("id >= 0"))
     assert(preds.last == "id >= 750 AND id <= 999")
