@@ -121,4 +121,27 @@ object TextAnalysis {
     }
     chain.otherwise("und")
   }
+
+  /** Vocabulary coverage / OOV analysis — the tokenizer-coverage QA pass
+    * a training corpus gets before committing to a vocabulary: build the
+    * top-`topV` corpus vocabulary (count desc, token asc — deterministic
+    * ties), then per-document token totals and the count falling outside
+    * it.
+    *
+    * Scale shape: corpus token counts are a two-phase hash aggregate
+    * (map-side combine over the explode); the vocabulary is a
+    * TakeOrderedAndProject top-V (no global sort) whose V rows BROADCAST
+    * into the per-doc pass — the corpus-sized token stream shuffles once
+    * (doc_id aggregate) and never joins a corpus-sized side. */
+  def vocabOov(docs: DataFrame, topV: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(normText(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topV)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).cast("long").as("n_oov"))
+  }
 }

@@ -110,6 +110,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"search join not a broadcast equi-join:\n$plan")
   }
 
+  test("q113 trained multi-probe: no training leak, broadcast search join") {
+    val df = SparkEntry.queries("q113_ann_ivf_kmeans_multiprobe")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("posexplode"),
+      s"k-means training chain leaked into the multi-probe search plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"search join not broadcast:\n$plan")
+  }
+
+  test("q114 vocabulary is a top-V (no global sort) broadcast into the per-doc pass") {
+    val df = SparkEntry.queries("q114_vocab_oov")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), s"vocab must be top-V, not sort+limit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$plan")
+  }
+
   test("q86 tf-idf folds the corpus count into the DAG (no driver-side count job)") {
     val df = SparkEntry.queries("q86_tfidf")(spark, TestSpark.Sf)
     // n_docs must be a scalar aggregate INSIDE the plan (the oracle's

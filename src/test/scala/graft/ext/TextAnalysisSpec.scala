@@ -66,4 +66,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     val msh = df.select(TextAnalysis.minShingleHash($"text", 5)).as[String].collect()
     assert(msh(0) == msh(1))
   }
+
+  test("vocabOov: deterministic top-V vocabulary, exact per-doc OOV counts") {
+    val docs = Seq((1L, "a a a b c"), (2L, "a b b z q")).toDF("doc_id", "text")
+    // corpus freq: a=4 b=3 c=1 z=1 q=1 → top-2 vocab = {a, b};
+    // OOV: doc1 {c}, doc2 {z, q}
+    val got = TextAnalysis.vocabOov(docs, topV = 2).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 1L), (2L, 5L, 2L)))
+    // tie at the V boundary breaks by token ascending: top-3 adds c (not q/z)
+    val got3 = TextAnalysis.vocabOov(docs, topV = 3).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got3 == Seq((1L, 5L, 0L), (2L, 5L, 2L)))
+  }
 }
