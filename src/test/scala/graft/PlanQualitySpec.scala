@@ -127,6 +127,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$plan")
   }
 
+  test("q115 dup-gram join stays an equi-join on the n-gram (no cross join)") {
+    val df = SparkEntry.queries("q115_dupgram_rate")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"dup-gram join degenerated:\n$plan")
+  }
+
   test("q86 tf-idf folds the corpus count into the DAG (no driver-side count job)") {
     val df = SparkEntry.queries("q86_tfidf")(spark, TestSpark.Sf)
     // n_docs must be a scalar aggregate INSIDE the plan (the oracle's
