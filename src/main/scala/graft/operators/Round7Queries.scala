@@ -1,10 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ext.{TextAnalysis => TA}
+import graft.functions.UnicodeNormFns
 
 /** Round-7 additions beyond the reference surface — corpus-QA operators
   * for the training-data pipeline story, each with a DuckDB oracle. */
@@ -70,6 +72,138 @@ object Round7Queries {
       SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         CAST(sum(CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
       FROM grams g JOIN freq f ON g.ngram = f.ngram
-      GROUP BY g.doc_id ORDER BY g.doc_id"""))
+      GROUP BY g.doc_id ORDER BY g.doc_id""")),
+
+    // ----- unicode canonicalisation: NFC + accent strip ------------------
+    // The corpus is ASCII, so the accented/decomposed forms are derived
+    // deterministically in-query (translate / an appended combining acute)
+    // and each engine normalises with its own kernel: graft's codegen'd
+    // java.text.Normalizer expressions vs DuckDB strip_accents /
+    // nfc_normalize. Map-only, zero shuffle — scan-rate at any corpus size.
+    ("q116_unicode_normalize", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val accented = translate($"text", "aeiou", "áéíöü")
+      val decomp = concat(substring($"text", 1, 10), lit("á"))
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id",
+          UnicodeNormFns.stripAccents(accented).as("clean_text"),
+          length(UnicodeNormFns.nfcNormalize(decomp)).cast("long").as("nfc_len"),
+          length(decomp).cast("long").as("raw_len"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        strip_accents(translate(text, 'aeiou', 'áéíöü')) AS clean_text,
+        CAST(length(nfc_normalize(substring(text, 1, 10) || 'a' || chr(769))) AS BIGINT) AS nfc_len,
+        CAST(length(substring(text, 1, 10) || 'a' || chr(769)) AS BIGINT) AS raw_len
+      FROM documents ORDER BY doc_id""")),
+
+    // ----- PII redaction: email/phone scrub with match accounting --------
+    // PII is injected deterministically from doc_id (the corpus has none),
+    // then both engines redact with the same regexes — kept to the
+    // Java-regex/RE2 common subset (char classes, bounded repeats; no
+    // backrefs or lookaround). Map-only, zero shuffle.
+    ("q117_pii_redact", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com or +1-555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("t"))
+        .select($"doc_id",
+          regexp_count($"t", lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count($"t", lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace($"t", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH aug AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM aug ORDER BY doc_id""")),
+
+    // ----- context-window chunking with overlap (W=32, S=24) -------------
+    // Training-prep chunker: sliding token windows of size W at stride S.
+    // Start positions are sequence(1, n, S) minus any window the previous
+    // one already covers to end-of-doc (so every token is covered exactly
+    // once per pass and no trailing chunk is a subset of its predecessor).
+    // Pure per-row explode — map-side, no shuffle; the chunk table is the
+    // natural pre-tokenization layout for packing (q106 consumes one).
+    ("q118_doc_chunking", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val (w, st) = (32, 24)
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", split($"text", " ").as("a"))
+        .select($"doc_id", $"a", size($"a").as("n"))
+        .select($"doc_id", $"a", $"n", explode(expr(
+          s"filter(sequence(1, n, $st), j -> j = 1 OR j + ${w - 1} <= n OR j - $st + ${w - 1} < n)"))
+          .as("j"))
+        .select($"doc_id", $"j".cast("long").as("chunk_start"),
+          expr(s"slice(a, j, least($w, n - j + 1))").as("chunk"))
+        .select($"doc_id", $"chunk_start",
+          size($"chunk").cast("long").as("n_tokens"),
+          md5(array_join($"chunk", " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_start")
+    }, Some("""
+      WITH base AS (SELECT doc_id, string_split(text, ' ') AS a,
+          len(string_split(text, ' ')) AS n FROM documents),
+      starts AS (SELECT doc_id, a, n, unnest(range(1, n + 1, 24)) AS j FROM base),
+      keep AS (SELECT * FROM starts WHERE j = 1 OR j + 31 <= n OR j - 24 + 31 < n)
+      SELECT doc_id, CAST(j AS BIGINT) AS chunk_start,
+        CAST(len(list_slice(a, CAST(j AS INT), CAST(least(j + 31, n) AS INT))) AS BIGINT) AS n_tokens,
+        md5(array_to_string(list_slice(a, CAST(j AS INT), CAST(least(j + 31, n) AS INT)), ' ')) AS chunk_hash
+      FROM keep ORDER BY doc_id, chunk_start""")),
+
+    // ----- Zipf rank-frequency fit over the token distribution -----------
+    // Corpus-health diagnostic: least-squares slope of ln(freq) vs
+    // ln(rank) over the top-64 tokens. Token counts are a two-phase hash
+    // aggregate; the top-64 is TakeOrderedAndProject; the window runs over
+    // a constant-bounded 64 rows. Per the q80 determinism rule, no
+    // regr_* builtins (double accumulation order varies): ln values are
+    // fixed to integer micro-lns via floor(v*1e6 + 0.5), all sums are
+    // integer-exact, and one identical double formula runs on both
+    // engines at the end.
+    ("q119_zipf_fit", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.spread(Tables.t(s, dir, "documents"))
+        .select(explode(split($"text", " ")).as("tok"))
+      val top = toks.groupBy($"tok").agg(count(lit(1)).as("f"))
+        .orderBy($"f".desc, $"tok").limit(64)
+      top
+        .withColumn("r", row_number().over(Window.orderBy($"f".desc, $"tok")))
+        .select(
+          floor(log($"f".cast("double")) * 1e6 + 0.5).cast("long").as("lf"),
+          floor(log($"r".cast("double")) * 1e6 + 0.5).cast("long").as("lr"))
+        .agg(count(lit(1)).as("n"), sum($"lr").as("sx"), sum($"lf").as("sy"),
+          sum($"lr" * $"lr").as("sxx"), sum($"lr" * $"lf").as("sxy"),
+          sum($"lf" * $"lf").as("syy"))
+        .select($"n".cast("long").as("n_ranks"),
+          round(
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")), 6).as("zipf_slope"),
+          round(
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") *
+              ($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+              (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+                ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 6).as("zipf_r2"))
+    }, Some("""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok ORDER BY f DESC, tok LIMIT 64),
+      ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq),
+      fixed AS (SELECT CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lf,
+          CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lr FROM ranked),
+      sums AS (SELECT count(*) AS n, sum(lr) AS sx, sum(lf) AS sy,
+          sum(lr * lr) AS sxx, sum(lr * lf) AS sxy, sum(lf * lf) AS syy FROM fixed)
+      SELECT CAST(n AS BIGINT) AS n_ranks,
+        round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
+          (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS zipf_r2
+      FROM sums"""))
   )
 }

@@ -219,4 +219,36 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no two-phase aggregate:\n$plan")
   }
+
+  test("q116/q117 normalisation + redaction are map-only inside codegen (no agg, no join)") {
+    // per-row scrubbing must stay scan-rate at 100 TB: a single codegen'd
+    // project over the file scan, no exchange beyond the output ORDER BY
+    Seq("q116_unicode_normalize", "q117_pii_redact").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
+      df.collect() // AQE only materializes the final (codegen'd) plan after execution
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+        s"$q is not map-only:\n$plan")
+      assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+        s"$q fell out of whole-stage codegen:\n$plan")
+    }
+  }
+
+  test("q118 chunking is a map-side explode (no shuffle before the output sort)") {
+    val df = SparkEntry.queries("q118_doc_chunking")(spark, TestSpark.Sf)
+    val plan = explained(df)
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"chunker should be generate+project only:\n$plan")
+    assert(plan.contains("Generate explode"), s"no explode in:\n$plan")
+  }
+
+  test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
+    val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-64 must not be a global sort:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"token counts not map-side combined:\n$plan")
+  }
 }
