@@ -204,6 +204,95 @@ object Round7Queries {
         round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
         round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE) /
           (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS zipf_r2
-      FROM sums"""))
+      FROM sums""")),
+
+    // ----- train/val/test split + contamination-style leakage audit ------
+    // Docs are assigned splits by the engine-reproducible md5/2^32 hash
+    // (the q110 rule: no seed, no RNG), then a val/test doc counts as
+    // LEAKED if it shares at least one word 5-gram with any train doc —
+    // the shipping-gate audit a split must pass before the corpus trains
+    // anything. Every shuffle keys on the 5-gram string (gram dedup, the
+    // train-side distinct, the probe join are co-partitioned); no cross
+    // join at any corpus size; the per-doc verdict is a doc_id rollup.
+    ("q120_split_leakage", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val n = 5
+      val d = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", split(TA.normText($"text"), " ").as("a"),
+          (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+            .cast("long").cast("double") / 4294967296.0).as("h01"))
+        .filter(size($"a") >= n)
+        .select($"doc_id", $"a",
+          when($"h01" < 0.8, "train").when($"h01" < 0.9, "val")
+            .otherwise("test").as("split"))
+      val grams = d.select($"doc_id", $"split", explode(expr(
+        s"transform(sequence(1, size(a) - ${n - 1}), j -> array_join(slice(a, j, $n), ' '))"))
+        .as("g")).distinct()
+      val trainGrams = grams.filter($"split" === "train")
+        .select($"g").distinct().withColumn("hit", lit(1))
+      grams.filter($"split" =!= "train")
+        .join(trainGrams, Seq("g"), "left")
+        .groupBy($"doc_id", $"split")
+        .agg(max(coalesce($"hit", lit(0))).as("leaked"))
+        .groupBy($"split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum($"leaked").cast("long").as("n_leaked"))
+        .orderBy("split")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS a,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0 AS h01
+        FROM documents),
+      split AS (SELECT doc_id, a,
+          CASE WHEN h01 < 0.8 THEN 'train' WHEN h01 < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM d WHERE len(a) >= 5),
+      grams AS (SELECT DISTINCT doc_id, split,
+          array_to_string(list_slice(a, CAST(j AS INT), CAST(j + 4 AS INT)), ' ') AS g
+        FROM (SELECT doc_id, split, a, unnest(range(1, len(a) - 3)) AS j FROM split)),
+      train_grams AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+      flags AS (SELECT gr.doc_id, gr.split, max(CASE WHEN t.g IS NULL THEN 0 ELSE 1 END) AS leaked
+        FROM grams gr LEFT JOIN train_grams t ON gr.g = t.g
+        WHERE gr.split <> 'train'
+        GROUP BY gr.doc_id, gr.split)
+      SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(leaked) AS BIGINT) AS n_leaked
+      FROM flags GROUP BY split ORDER BY split""")),
+
+    // ----- unigram log-likelihood quality score (perplexity filtering) ---
+    // CCNet-style signal: each doc's average negative log-likelihood
+    // under the corpus's own unigram distribution — repetitive/templated
+    // docs score low, rare-token noise scores high. The corpus total is
+    // an in-DAG scalar aggregate broadcast into the frequency table (the
+    // q86 rule: no driver-side count job); the token→logprob join keys
+    // on the token, co-partitioned with the frequency aggregate. Per the
+    // q80/q119 determinism rule the per-token ln is fixed to integer
+    // micro-lns before the per-doc sum, so both engines aggregate exact
+    // integers and divide once at the end.
+    ("q121_unigram_logprob", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", explode(split(TA.normText($"text"), " ")).as("tok"))
+      val freq = toks.groupBy($"tok").agg(count(lit(1)).as("f"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val lp = freq.crossJoin(broadcast(tot))
+        .select($"tok", floor(log($"f".cast("double") / $"n".cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lnp"))
+      toks.join(lp, Seq("tok"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lnp").as("s"))
+        .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+          round(-$"s".cast("double") / ($"n_tokens".cast("double") * 1e6), 6).as("avg_nll"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+      freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+      lp AS (SELECT tok, CAST(floor(ln(CAST(f AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) AS lnp
+        FROM freq CROSS JOIN tot),
+      per AS (SELECT t.doc_id, count(*) AS n_tokens, sum(l.lnp) AS s
+        FROM toks t JOIN lp l ON t.tok = l.tok GROUP BY t.doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        round(-CAST(s AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6), 6) AS avg_nll
+      FROM per ORDER BY doc_id"""))
   )
 }

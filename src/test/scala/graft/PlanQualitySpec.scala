@@ -242,6 +242,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"no explode in:\n$plan")
   }
 
+  test("q120 split-leakage probe joins on the 5-gram string (no cross join)") {
+    val df = SparkEntry.queries("q120_split_leakage")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"leakage probe degenerated into a cross join:\n$plan")
+  }
+
+  test("q121 unigram logprob folds the corpus total into the DAG; token join is equi") {
+    val df = SparkEntry.queries("q121_unigram_logprob")(spark, TestSpark.Sf)
+    // the scalar total must be an aggregate INSIDE the plan, not a
+    // driver-side count() baked in as a literal (the q86 rule)
+    val logical = df.queryExecution.analyzed.toString
+    assert(logical.contains("count(1)"), s"no in-DAG corpus total:\n$logical")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // exactly one deliberate scalar broadcast (the 1-row total); the
+    // token->logprob join itself must stay an equi-join
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"scalar total not broadcast into the DAG:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"token join missing/degenerate:\n$plan")
+  }
+
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()
