@@ -293,6 +293,83 @@ object Round7Queries {
         FROM toks t JOIN lp l ON t.tok = l.tok GROUP BY t.doc_id)
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         round(-CAST(s AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6), 6) AS avg_nll
-      FROM per ORDER BY doc_id"""))
+      FROM per ORDER BY doc_id""")),
+
+    // ----- sorted-neighborhood near-dup (SNM blocking) -------------------
+    // The classic third blocking family next to LSH (q21/q26) and prefix
+    // filtering (q97): sort by normalized text, compare each doc only
+    // with its w-1 successors. The block key (2-char prefix of the sort
+    // key) is what makes it distributed — the window partitions by block
+    // and parallelism = |blocks|; lengthen the prefix to widen it at
+    // corpus scale (cross-block neighbors are by construction near-misses
+    // the other two families still catch). Candidate verdicts are
+    // integer-exact: keep iff 2*|intersect| >= |union| (Jaccard >= 0.5
+    // without the double division the round-on-double gotcha warns about).
+    ("q122_sorted_neighborhood", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", TA.normText($"text").as("nt"))
+        .select($"doc_id", $"nt",
+          array_distinct(split($"nt", " ")).as("toks"),
+          substring($"nt", 1, 2).as("blk"))
+      val w = Window.partitionBy($"blk").orderBy($"nt", $"doc_id")
+      val nbr = d.select($"doc_id", $"toks",
+        lead($"doc_id", 1).over(w).as("n1_id"), lead($"toks", 1).over(w).as("n1_toks"),
+        lead($"doc_id", 2).over(w).as("n2_id"), lead($"toks", 2).over(w).as("n2_toks"))
+      val pairs =
+        nbr.filter($"n1_id".isNotNull)
+          .select($"doc_id".as("id_a"), $"n1_id".as("id_b"), $"toks".as("ta"), $"n1_toks".as("tb"))
+        .unionByName(nbr.filter($"n2_id".isNotNull)
+          .select($"doc_id".as("id_a"), $"n2_id".as("id_b"), $"toks".as("ta"), $"n2_toks".as("tb")))
+      pairs
+        .select($"id_a", $"id_b",
+          size(array_intersect($"ta", $"tb")).cast("long").as("n_inter"),
+          size(array_union($"ta", $"tb")).cast("long").as("n_union"))
+        .filter(lit(2) * $"n_inter" >= $"n_union")
+        .orderBy("id_a", "id_b")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $normSql AS nt,
+          list_distinct(string_split($normSql, ' ')) AS toks,
+          substr($normSql, 1, 2) AS blk
+        FROM documents),
+      nbr AS (SELECT doc_id, toks,
+          lead(doc_id, 1) OVER w AS n1_id, lead(toks, 1) OVER w AS n1_toks,
+          lead(doc_id, 2) OVER w AS n2_id, lead(toks, 2) OVER w AS n2_toks
+        FROM d WINDOW w AS (PARTITION BY blk ORDER BY nt, doc_id)),
+      pairs AS (
+        SELECT doc_id AS id_a, n1_id AS id_b, toks AS ta, n1_toks AS tb
+          FROM nbr WHERE n1_id IS NOT NULL
+        UNION ALL
+        SELECT doc_id, n2_id, toks, n2_toks FROM nbr WHERE n2_id IS NOT NULL)
+      SELECT id_a, id_b,
+        CAST(len(list_intersect(ta, tb)) AS BIGINT) AS n_inter,
+        CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS n_union
+      FROM pairs
+      WHERE 2 * len(list_intersect(ta, tb)) >= len(list_distinct(list_concat(ta, tb)))
+      ORDER BY id_a, id_b""")),
+
+    // ----- streaming exact-dedup under the batch oracle ------------------
+    // The streaming form of exact dedup (q20's continuous twin): a real
+    // streaming query — file source → watermarked dropDuplicates →
+    // aggregate → memory sink — whose result the gate checks against
+    // batch count(DISTINCT). See EventStream.distinctUsersByType for the
+    // state-bound contract.
+    ("q123_stream_dedup", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q123")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = graft.streaming.EventStream.streamFromParquetDir(s, tmp.toString)
+      val q = graft.streaming.EventStream.distinctUsersByType(stream)
+        .writeStream.format("memory").queryName("q123_mem")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q123_mem")
+        .select($"event_type", $"n_users")
+        .orderBy("event_type")
+    }, Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY event_type"""))
   )
 }

@@ -41,6 +41,21 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
 
+  /** Streaming exact-dedup → distinct-user counts. `dropDuplicates` on
+    * (user_id, event_type) keeps one row per key in state; the watermark
+    * bounds that state to the horizon (keys silent longer than it are
+    * evicted — a re-arrival after eviction would re-count, the standard
+    * streaming-dedup contract). The downstream aggregate makes the
+    * result order-independent — whichever arrival survives dedup, the
+    * per-type distinct-user count is the same, so the batch oracle is
+    * exactly `count(DISTINCT user_id)`. */
+  def distinctUsersByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Stream-stream interval self-join: purchases attributed to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the engine

@@ -266,6 +266,17 @@ class PlanQualitySpec extends AnyFunSuite {
       plan.contains("ShuffledHashJoin"), s"token join missing/degenerate:\n$plan")
   }
 
+  test("q122 sorted-neighborhood window partitions by block (no single-partition window)") {
+    val df = SparkEntry.queries("q122_sorted_neighborhood")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the SNM window must shuffle on the block key, never collapse the
+    // corpus into one partition; and there is no join at all — the
+    // neighbor pairing is window-local
+    assert(plan.contains("hashpartitioning(blk"), s"window not partitioned by block:\n$plan")
+    assert(!plan.contains("Join"), s"SNM should be join-free:\n$plan")
+  }
+
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()

@@ -130,6 +130,26 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup + aggregate equals batch count(DISTINCT user_id) per type") {
+    val stream = EventStream.streamFromParquetDir(spark, eventsDir)
+    val q = EventStream.distinctUsersByType(stream)
+      .writeStream.format("memory").queryName("dedup_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_counts")
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+
+    val batch = Tables.t(spark, TestSpark.Sf, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+
+    assert(streamed == batch)
+    // the dedup did real work: raw rows exceed the distinct keys
+    val raw = Tables.t(spark, TestSpark.Sf, "events").count()
+    assert(raw > streamed.map(_._2).sum)
+  }
+
   test("stateful sessionization matches the batch q28 session counts") {
     val ev = Tables.t(spark, TestSpark.Sf, "events")
       .select($"user_id", unix_timestamp(date_trunc("second", $"ts")).as("tsec"))
