@@ -313,14 +313,18 @@ object Round7Queries {
           array_distinct(split($"nt", " ")).as("toks"),
           substring($"nt", 1, 2).as("blk"))
       val w = Window.partitionBy($"blk").orderBy($"nt", $"doc_id")
+      // both neighbor offsets come out of ONE window pass, then explode —
+      // a union of per-offset branches would recompute the scan + block
+      // shuffle + window once per offset (observed in the executed plan)
       val nbr = d.select($"doc_id", $"toks",
         lead($"doc_id", 1).over(w).as("n1_id"), lead($"toks", 1).over(w).as("n1_toks"),
         lead($"doc_id", 2).over(w).as("n2_id"), lead($"toks", 2).over(w).as("n2_toks"))
-      val pairs =
-        nbr.filter($"n1_id".isNotNull)
-          .select($"doc_id".as("id_a"), $"n1_id".as("id_b"), $"toks".as("ta"), $"n1_toks".as("tb"))
-        .unionByName(nbr.filter($"n2_id".isNotNull)
-          .select($"doc_id".as("id_a"), $"n2_id".as("id_b"), $"toks".as("ta"), $"n2_toks".as("tb")))
+      val pairs = nbr
+        .select($"doc_id".as("id_a"), $"toks".as("ta"), explode(array(
+          struct($"n1_id".as("id_b"), $"n1_toks".as("tb")),
+          struct($"n2_id".as("id_b"), $"n2_toks".as("tb")))).as("nb"))
+        .filter($"nb.id_b".isNotNull)
+        .select($"id_a", $"nb.id_b".as("id_b"), $"ta", $"nb.tb".as("tb"))
       pairs
         .select($"id_a", $"id_b",
           size(array_intersect($"ta", $"tb")).cast("long").as("n_inter"),
@@ -370,6 +374,53 @@ object Round7Queries {
         .orderBy("event_type")
     }, Some("""
       SELECT event_type, count(DISTINCT user_id) AS n_users
-      FROM events GROUP BY 1 ORDER BY event_type"""))
+      FROM events GROUP BY 1 ORDER BY event_type""")),
+
+    // ----- bigram conditional log-likelihood (order-2 LM scoring) --------
+    // q121's order-2 sibling: each doc's average -ln p(tok | prev) under
+    // the corpus's own bigram model. The denominator counts prev as a
+    // CONTEXT (occurrences followed by anything — i.e. sum over tok of
+    // bigram counts), so p is a true conditional distribution and every
+    // doc bigram exists in the model by construction (trained on the
+    // same corpus — no smoothing term needed). All joins are equi: model
+    // assembly keys on the bigram's first token, scoring keys on the
+    // bigram string; per the q80/q119 rule the ln is fixed to integer
+    // micro-lns before the per-doc sum.
+    ("q124_bigram_logprob", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", split(TA.normText($"text"), " ").as("a"))
+        .filter(size($"a") >= 2)
+      val inst = base.select($"doc_id", explode(expr(
+        "transform(sequence(1, size(a) - 1), j -> named_struct(" +
+          "'bg', array_join(slice(a, j, 2), ' '), 'prev', element_at(a, j)))")).as("x"))
+        .select($"doc_id", $"x.bg".as("bg"), $"x.prev".as("prev"))
+      val bfreq = inst.groupBy($"bg").agg(count(lit(1)).as("b"))
+      val ufreq = inst.groupBy($"prev").agg(count(lit(1)).as("u"))
+      val model = bfreq.join(ufreq, split($"bg", " ")(0) === $"prev")
+        .select($"bg", floor(log($"b".cast("double") / $"u".cast("double")) * 1e6 + 0.5)
+          .cast("long").as("lnp"))
+      inst.join(model, Seq("bg"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"lnp").as("s"))
+        .select($"doc_id", $"n_bigrams".cast("long").as("n_bigrams"),
+          round(-$"s".cast("double") / ($"n_bigrams".cast("double") * 1e6), 6).as("avg_nll2"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents
+        WHERE len(string_split($normSql, ' ')) >= 2),
+      inst AS (SELECT doc_id,
+          array_to_string(list_slice(a, CAST(j AS INT), CAST(j + 1 AS INT)), ' ') AS bg,
+          a[CAST(j AS INT)] AS prev
+        FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS j FROM base)),
+      bfreq AS (SELECT bg, CAST(count(*) AS BIGINT) AS b FROM inst GROUP BY bg),
+      ufreq AS (SELECT prev, CAST(count(*) AS BIGINT) AS u FROM inst GROUP BY prev),
+      model AS (SELECT bg, CAST(floor(ln(CAST(b AS DOUBLE) / u) * 1e6 + 0.5) AS BIGINT) AS lnp
+        FROM bfreq JOIN ufreq ON string_split(bg, ' ')[1] = prev),
+      per AS (SELECT i.doc_id, count(*) AS n_bigrams, sum(m.lnp) AS s
+        FROM inst i JOIN model m ON i.bg = m.bg GROUP BY i.doc_id)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        round(-CAST(s AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6), 6) AS avg_nll2
+      FROM per ORDER BY doc_id"""))
   )
 }

@@ -275,6 +275,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // neighbor pairing is window-local
     assert(plan.contains("hashpartitioning(blk"), s"window not partitioned by block:\n$plan")
     assert(!plan.contains("Join"), s"SNM should be join-free:\n$plan")
+    // both neighbor offsets must come out of one window pass — a
+    // per-offset union would scan + shuffle + window the corpus twice
+    assert("Exchange hashpartitioning\\(blk".r.findAllIn(plan).length == 1,
+      s"block shuffle duplicated across offset branches:\n$plan")
+  }
+
+  test("q124 bigram model joins are all equi (bigram/prev keys, no cross join)") {
+    val df = SparkEntry.queries("q124_bigram_logprob")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bigram model join degenerated:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"bigram counts not map-side combined:\n$plan")
   }
 
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
