@@ -20,16 +20,25 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // SPARK_GRAFT_BENCH_REPS>1 times each query that many times and keeps
+    // the MINIMUM — the shared box flaps individual readings up to ±2×
+    // (BENCHNOTES), and the min is the least noise-contaminated estimate
+    // of the plan's cost. Default 1 = the driver's single-pass protocol.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column
-      // (count() would let Catalyst prune the projections being benched);
-      // a failed query records NEGATIVE elapsed so it can't pass as fast
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every output column
+        // (count() would let Catalyst prune the projections being benched);
+        // a failed query records NEGATIVE elapsed so it can't pass as fast
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) dt else -dt
+      }
+      name -> (if (times.exists(_ < 0)) times.filter(_ < 0).head
+               else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

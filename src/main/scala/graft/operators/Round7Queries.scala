@@ -421,6 +421,46 @@ object Round7Queries {
         FROM inst i JOIN model m ON i.bg = m.bg GROUP BY i.doc_id)
       SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
         round(-CAST(s AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e6), 6) AS avg_nll2
-      FROM per ORDER BY doc_id"""))
+      FROM per ORDER BY doc_id""")),
+
+    // ----- one-pass per-column table profile (migration QA) --------------
+    // The profiling companion to compareDb: row/null/distinct counts and
+    // min/max per column in one pass. Deliberately NOT the wide
+    // multi-count-distinct aggregate — Spark expands that to |cols|
+    // copies of every row before the shuffle (Expand operator, m-times
+    // the shuffle volume at 100 TB). Instead: stack-unpivot to
+    // (col_name, value), aggregate per value (map-side combinable, this
+    // dedups BEFORE the second shuffle), then roll up per column.
+    // Values travel as strings so one schema fits every column; binary
+    // UTF8 min/max ordering agrees between the engines.
+    ("q125_table_profile", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .select(expr(
+          "stack(4, " +
+            "'o_orderstatus', cast(o_orderstatus as string), " +
+            "'o_orderpriority', cast(o_orderpriority as string), " +
+            "'o_custkey', cast(o_custkey as string), " +
+            "'o_totalprice', cast(o_totalprice as string)) as (col_name, v)"))
+        .groupBy($"col_name", $"v").agg(count(lit(1)).as("c"))
+        .groupBy($"col_name")
+        .agg(sum($"c").cast("long").as("n_rows"),
+          sum(when($"v".isNull, $"c").otherwise(0L)).cast("long").as("n_null"),
+          count(when($"v".isNotNull, lit(1))).cast("long").as("n_distinct"),
+          min($"v").as("min_v"), max($"v").as("max_v"))
+        .orderBy("col_name")
+    }, Some("""
+      WITH up AS (
+        SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+        UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders),
+      per_val AS (SELECT col_name, v, count(*) AS c FROM up GROUP BY col_name, v)
+      SELECT col_name,
+        CAST(sum(c) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
+        min(v) AS min_v, max(v) AS max_v
+      FROM per_val GROUP BY col_name ORDER BY col_name"""))
   )
 }

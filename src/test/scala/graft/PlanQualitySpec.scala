@@ -291,6 +291,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bigram counts not map-side combined:\n$plan")
   }
 
+  test("q125 profile avoids the Expand shape (stack unpivot, map-side dedup)") {
+    val df = SparkEntry.queries("q125_table_profile")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the wide multi-count-distinct form would show an Expand duplicating
+    // every row per column ahead of the shuffle
+    assert(!plan.contains("Expand"), s"profile degenerated into Expand:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"per-value aggregate not map-side combined:\n$plan")
+  }
+
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()
