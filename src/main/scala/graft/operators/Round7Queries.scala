@@ -461,6 +461,74 @@ object Round7Queries {
         CAST(sum(CASE WHEN v IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
         CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct,
         min(v) AS min_v, max(v) AS max_v
-      FROM per_val GROUP BY col_name ORDER BY col_name"""))
+      FROM per_val GROUP BY col_name ORDER BY col_name""")),
+
+    // ----- robust length outliers: exact median/MAD from histograms ------
+    // Quality-filter signal: per-source token-length median and MAD and
+    // the docs beyond 3 MADs. The medians are EXACT but never buffer a
+    // group's values (percentile_cont's sort-buffering aggregate does,
+    // which is why q49's shape would not survive a 100 TB group):
+    // aggregate to a (source, value, count) histogram — bounded by
+    // |sources| x |distinct lengths|, both small — and read the median
+    // off the cumulative window. The deviation histogram repeats the
+    // trick around the median. Integer values and half-step medians keep
+    // every comparison exact in IEEE double on both engines.
+    ("q126_robust_outliers", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"source",
+          size(split(TA.normText($"text"), " ")).cast("long").as("v"))
+      def histMedian(df: DataFrame, valCol: String, out: String): DataFrame = {
+        val hist = df.groupBy($"source", col(valCol)).agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy($"source").orderBy(col(valCol))
+        val wTot = Window.partitionBy($"source")
+        hist
+          .withColumn("cum", sum($"c").over(wCum))
+          .withColumn("tot", sum($"c").over(wTot))
+          .groupBy($"source")
+          .agg(((min(when($"cum" >= floor(($"tot" + 1) / 2), col(valCol))) +
+            min(when($"cum" >= floor($"tot" / 2) + 1, col(valCol)))) / 2.0).as(out))
+      }
+      val med = histMedian(d, "v", "median_v")
+      val dev = d.join(med, Seq("source"))
+        .select($"source", abs($"v".cast("double") - $"median_v").as("dv"))
+      val mad = histMedian(dev, "dv", "mad_v")
+      d.join(med, Seq("source")).join(mad, Seq("source"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min($"median_v").as("median_tokens"),
+          min($"mad_v").as("mad_tokens"),
+          sum(when(abs($"v".cast("double") - $"median_v") > lit(3) * $"mad_v", 1L)
+            .otherwise(0L)).cast("long").as("n_outliers"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, source,
+          CAST(len(string_split($normSql, ' ')) AS BIGINT) AS v FROM documents),
+      hist AS (SELECT source, v, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY source, v),
+      win AS (SELECT source, v, c,
+          sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+          sum(c) OVER (PARTITION BY source) AS tot
+        FROM hist),
+      med AS (SELECT source,
+          (min(CASE WHEN cum >= floor((tot + 1) / 2) THEN v END)
+           + min(CASE WHEN cum >= floor(tot / 2) + 1 THEN v END)) / 2.0 AS median_v
+        FROM win GROUP BY source),
+      dev AS (SELECT d.source, abs(CAST(d.v AS DOUBLE) - m.median_v) AS dv,
+          CAST(count(*) AS BIGINT) AS c
+        FROM d JOIN med m ON d.source = m.source GROUP BY d.source, dv),
+      dwin AS (SELECT source, dv, c,
+          sum(c) OVER (PARTITION BY source ORDER BY dv) AS cum,
+          sum(c) OVER (PARTITION BY source) AS tot
+        FROM dev),
+      mad AS (SELECT source,
+          (min(CASE WHEN cum >= floor((tot + 1) / 2) THEN dv END)
+           + min(CASE WHEN cum >= floor(tot / 2) + 1 THEN dv END)) / 2.0 AS mad_v
+        FROM dwin GROUP BY source)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        min(m.median_v) AS median_tokens, min(x.mad_v) AS mad_tokens,
+        CAST(sum(CASE WHEN abs(CAST(d.v AS DOUBLE) - m.median_v) > 3 * x.mad_v
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM d JOIN med m ON d.source = m.source JOIN mad x ON d.source = x.source
+      GROUP BY d.source ORDER BY d.source"""))
   )
 }

@@ -302,6 +302,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"per-value aggregate not map-side combined:\n$plan")
   }
 
+  test("q126 robust outliers: histogram medians, source-partitioned windows, equi joins") {
+    val df = SparkEntry.queries("q126_robust_outliers")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"median join degenerated:\n$plan")
+    // the median windows run over the bounded histogram, partitioned by
+    // source — never a single-partition corpus-wide window
+    assert(plan.contains("hashpartitioning(source"), s"window not source-partitioned:\n$plan")
+    // and no sort-buffering percentile aggregate anywhere
+    assert(!plan.contains("percentile"), s"percentile agg leaked in:\n$plan")
+  }
+
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()

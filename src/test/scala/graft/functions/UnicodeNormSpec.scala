@@ -52,6 +52,26 @@ class UnicodeNormSpec extends AnyFunSuite {
     assert(both.distinct.toSeq == Seq("cafe"))
   }
 
+  test("property: nfc and strip_accents are idempotent; strip output is mark-free") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import org.apache.spark.unsafe.types.UTF8String
+    // strings mixing ascii, composed/decomposed accents, and raw marks
+    val frag = Gen.oneOf("a", "é", "é", "ñ", "ñ", "ß", " ", "́", "0", "的")
+    val strs = Gen.listOf(frag).map(_.mkString)
+    val prop = Prop.forAll(strs) { s =>
+      val u = UTF8String.fromString(s)
+      val nfc1 = UnicodeNorm.nfc(u)
+      val strip1 = UnicodeNorm.stripAccents(u)
+      UnicodeNorm.nfc(nfc1) == nfc1 &&
+        UnicodeNorm.stripAccents(strip1) == strip1 &&
+        strip1.toString.forall(c =>
+          Character.getType(c) != Character.NON_SPACING_MARK)
+    }
+    val res = check(Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("null propagates; ascii fast path returns the input unchanged") {
     val r = Seq[(Integer, String)]((1, null), (2, "ascii")).toDF("id", "s")
       .select(UnicodeNormFns.nfcNormalize($"s").as("n"),
