@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DoubleDot, SortedLongJaccard}
+import graft.functions.{DoubleDot, NfcNormalize, SortedLongJaccard, StripAccents}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions for SQL use.
@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.sortedLongJaccardFn)
     e.injectFunction(GraftExtensions.doubleDotFn)
+    e.injectFunction(GraftExtensions.nfcNormalizeFn)
+    e.injectFunction(GraftExtensions.stripAccentsFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -32,6 +34,16 @@ object GraftExtensions {
     DoubleDot(exprs(0), exprs(1))
   }
 
+  private def buildNfc(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "nfc_normalize(str)")
+    NfcNormalize(exprs(0))
+  }
+
+  private def buildStrip(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "strip_accents(str)")
+    StripAccents(exprs(0))
+  }
+
   val sortedLongJaccardFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_long_jaccard"),
     new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_long_jaccard"),
@@ -42,11 +54,25 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DoubleDot].getName, "double_dot"),
     buildDot _)
 
+  val nfcNormalizeFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    buildNfc _)
+
+  val stripAccentsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("strip_accents"),
+    new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+    buildStrip _)
+
   /** Register on an already-built session (tests, shells). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_long_jaccard", buildJaccard, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "double_dot", buildDot, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", buildNfc, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents", buildStrip, "built-in")
   }
 }

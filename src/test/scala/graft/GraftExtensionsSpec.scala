@@ -20,4 +20,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("nfc_normalize and strip_accents are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT strip_accents('café') AS s, length(nfc_normalize('é')) AS n")
+      .collect().head
+    assert(r.getString(0) == "cafe")
+    assert(r.getInt(1) == 1)
+  }
 }
