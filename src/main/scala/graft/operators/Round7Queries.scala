@@ -529,6 +529,82 @@ object Round7Queries {
         CAST(sum(CASE WHEN abs(CAST(d.v AS DOUBLE) - m.median_v) > 3 * x.mad_v
           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM d JOIN med m ON d.source = m.source JOIN mad x ON d.source = x.source
-      GROUP BY d.source ORDER BY d.source"""))
+      GROUP BY d.source ORDER BY d.source""")),
+
+    // ----- domain drift: per-source KL divergence from the corpus --------
+    // Distribution-shift monitor: KL(p_source || p_corpus) over unigram
+    // distributions, in nats. Rewritten for exactness as
+    // (1/n) * sum_t f_t * [micro_ln(f_t/n) - micro_ln(g_t/m)] — the
+    // per-token factor is an INTEGER (count x micro-ln difference), so
+    // the shuffle-order-sensitive double sum the naive p*ln(p/q) form
+    // would need never appears (the q80/q119 rule). Both aggregates and
+    // the join key on (source,) token; the corpus total is an in-DAG
+    // broadcast scalar (q86 rule).
+    ("q127_kl_drift", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", explode(split(TA.normText($"text"), " ")).as("tok"))
+      val src = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("f"))
+      val srcn = src.groupBy($"source").agg(sum($"f").as("n"))
+      val corp = toks.groupBy($"tok").agg(count(lit(1)).as("g"))
+      val m = toks.agg(count(lit(1)).as("m"))
+      src.join(srcn, Seq("source")).join(corp, Seq("tok")).crossJoin(broadcast(m))
+        .select($"source", $"f",
+          (floor(log($"f".cast("double") / $"n".cast("double")) * 1e6 + 0.5).cast("long")
+            - floor(log($"g".cast("double") / $"m".cast("double")) * 1e6 + 0.5).cast("long"))
+            .as("dln"))
+        .groupBy($"source")
+        .agg(sum($"f" * $"dln").as("s"), sum($"f").cast("long").as("n_tokens"))
+        .select($"source", $"n_tokens",
+          round($"s".cast("double") / ($"n_tokens".cast("double") * 1e6), 6).as("kl_nats"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH toks AS (SELECT source, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+      src AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY source, tok),
+      srcn AS (SELECT source, CAST(sum(f) AS BIGINT) AS n FROM src GROUP BY source),
+      corp AS (SELECT tok, CAST(count(*) AS BIGINT) AS g FROM toks GROUP BY tok),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM toks),
+      terms AS (SELECT s.source, s.f,
+          CAST(floor(ln(CAST(s.f AS DOUBLE) / sn.n) * 1e6 + 0.5) AS BIGINT)
+            - CAST(floor(ln(CAST(c.g AS DOUBLE) / m.m) * 1e6 + 0.5) AS BIGINT) AS dln
+        FROM src s JOIN srcn sn ON s.source = sn.source
+        JOIN corp c ON s.tok = c.tok CROSS JOIN m),
+      agg AS (SELECT source, sum(f * dln) AS s, CAST(sum(f) AS BIGINT) AS n FROM terms GROUP BY source)
+      SELECT source, n AS n_tokens,
+        round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6), 6) AS kl_nats
+      FROM agg ORDER BY source""")),
+
+    // ----- heavy hitters: top-3 values per profiled column ---------------
+    // q125's companion: the most frequent values per column with counts,
+    // ties broken by value. The rank<=k filter compiles to
+    // WindowGroupLimit, so each map task forwards at most k rows per
+    // column ahead of the shuffle — the shuffle is |cols| x k rows no
+    // matter how large the table (plan-asserted).
+    ("q128_heavy_hitters", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cnt = Tables.t(s, dir, "orders")
+        .select(expr(
+          "stack(3, " +
+            "'o_orderstatus', cast(o_orderstatus as string), " +
+            "'o_orderpriority', cast(o_orderpriority as string), " +
+            "'o_clerk', cast(o_custkey % 100 as string)) as (col_name, v)"))
+        .filter($"v".isNotNull)
+        .groupBy($"col_name", $"v").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"col_name").orderBy($"c".desc, $"v")
+      cnt.withColumn("r", row_number().over(w))
+        .filter($"r" <= 3)
+        .select($"col_name", $"r".cast("long").as("rnk"), $"v".as("value"), $"c".as("n"))
+        .orderBy("col_name", "rnk")
+    }, Some("""
+      WITH up AS (
+        SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+        UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_clerk', CAST(o_custkey % 100 AS VARCHAR) FROM orders),
+      cnt AS (SELECT col_name, v, CAST(count(*) AS BIGINT) AS c FROM up
+        WHERE v IS NOT NULL GROUP BY col_name, v),
+      rk AS (SELECT col_name, v, c,
+          row_number() OVER (PARTITION BY col_name ORDER BY c DESC, v) AS r FROM cnt)
+      SELECT col_name, CAST(r AS BIGINT) AS rnk, v AS value, c AS n
+      FROM rk WHERE r <= 3 ORDER BY col_name, rnk"""))
   )
 }

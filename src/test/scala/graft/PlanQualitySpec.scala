@@ -315,6 +315,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("percentile"), s"percentile agg leaked in:\n$plan")
   }
 
+  test("q127 KL drift: equi joins on token, in-DAG corpus scalar, no double-sum") {
+    val df = SparkEntry.queries("q127_kl_drift")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // exactly one deliberate scalar cross join (the broadcast total);
+    // the token joins stay equi
+    assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(plan).length <= 1,
+      s"more than the one scalar cross join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"token join missing:\n$plan")
+  }
+
+  test("q128 heavy hitters bound the shuffle via WindowGroupLimit") {
+    val df = SparkEntry.queries("q128_heavy_hitters")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k did not compile to WindowGroupLimit:\n$plan")
+  }
+
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()
