@@ -605,6 +605,78 @@ object Round7Queries {
       rk AS (SELECT col_name, v, c,
           row_number() OVER (PARTITION BY col_name ORDER BY c DESC, v) AS r FROM cnt)
       SELECT col_name, CAST(r AS BIGINT) AS rnk, v AS value, c AS n
-      FROM rk WHERE r <= 3 ORDER BY col_name, rnk"""))
+      FROM rk WHERE r <= 3 ORDER BY col_name, rnk""")),
+
+    // ----- temporal novelty: first-seen n-gram attribution ---------------
+    // The ingest-order twin of q115's symmetric dup-gram rate: treating
+    // doc_id as arrival order, how much of each doc's content is NEW —
+    // grams whose first-seen doc is this one. The signal an incremental
+    // ingestion pipeline thresholds to drop low-novelty arrivals. min()
+    // per gram is a two-phase aggregate; the attribution join keys on
+    // the gram string and is co-partitioned with it; the only doc_id
+    // shuffle is the final rollup.
+    ("q129_temporal_novelty", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val n = 5
+      val grams = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", split(TA.normText($"text"), " ").as("a"))
+        .filter(size($"a") >= n)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, size(a) - ${n - 1}), j -> array_join(slice(a, j, $n), ' '))"))
+          .as("g"))
+        .distinct()
+      val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+      grams.join(first, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).cast("long").as("n_novel"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents
+        WHERE len(string_split($normSql, ' ')) >= 5),
+      grams AS (SELECT DISTINCT doc_id,
+          array_to_string(list_slice(a, CAST(j AS INT), CAST(j + 4 AS INT)), ' ') AS g
+        FROM (SELECT doc_id, a, unnest(range(1, len(a) - 3)) AS j FROM base)),
+      first AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY g)
+      SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM grams gr JOIN first f ON gr.g = f.g
+      GROUP BY gr.doc_id ORDER BY gr.doc_id""")),
+
+    // ----- embedding cluster cohesion (within-label variance) ------------
+    // Label-quality metric for the embeddings table: average squared
+    // distance to the label centroid, via the exact identity
+    // E||x-c||^2 = E||x||^2 - ||c||^2 with ||c||^2 = (sum_d S_d^2)/n^2 —
+    // chosen over the direct form because sum_d (S_d/n)^2 is an
+    // order-sensitive double sum. Values are quantized to integer-valued
+    // doubles (the q101 rule: every sum exact in IEEE double regardless
+    // of shuffle order); the only non-integer arithmetic is the final
+    // fixed-formula division. One explode + two hash aggregates + a
+    // per-label join — no per-vector state, scales to any corpus.
+    ("q130_cluster_cohesion", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val dims = Tables.spread(Tables.t(s, dir, "embeddings"))
+        .select($"vec_id", $"label",
+          posexplode($"embedding").as(Seq("j0", "x")))
+        .select($"vec_id", $"label", ($"j0" + 1).as("j"),
+          round($"x".cast("double") * 10000).as("v"))
+      val sd2 = dims.groupBy($"label", $"j").agg(sum($"v").as("sd"))
+        .groupBy($"label").agg(sum($"sd" * $"sd").as("sd2"))
+      val lab = dims.groupBy($"label")
+        .agg(sum($"v" * $"v").as("v2"), (count(lit(1)) / 64).as("n"))
+      lab.join(sd2, Seq("label"))
+        .select($"label", $"n".cast("long").as("n_vecs"),
+          round(($"v2" / $"n" - $"sd2" / ($"n" * $"n")) / 1e8, 4).as("cohesion"))
+        .orderBy("label")
+    }, Some("""
+      WITH q AS (SELECT vec_id, label, j,
+          round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 10000) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)),
+      dims AS (SELECT label, j, sum(v) AS sd FROM q GROUP BY label, j),
+      sd2 AS (SELECT label, sum(sd * sd) AS sd2 FROM dims GROUP BY label),
+      lab AS (SELECT label, sum(v * v) AS v2, count(*) / 64 AS n FROM q GROUP BY label)
+      SELECT l.label, CAST(l.n AS BIGINT) AS n_vecs,
+        round((l.v2 / l.n - s.sd2 / (l.n * l.n)) / 1e8, 4) AS cohesion
+      FROM lab l JOIN sd2 s ON l.label = s.label ORDER BY l.label"""))
   )
 }

@@ -335,6 +335,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rank<=k did not compile to WindowGroupLimit:\n$plan")
   }
 
+  test("q129 novelty attribution joins on the gram string (no cross join)") {
+    val df = SparkEntry.queries("q129_temporal_novelty")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty join degenerated:\n$plan")
+  }
+
+  test("q130 cohesion: two-phase aggregates over the dim explode, per-label equi join") {
+    val df = SparkEntry.queries("q130_cluster_cohesion")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"label join degenerated:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"dim sums not map-side combined:\n$plan")
+  }
+
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()
