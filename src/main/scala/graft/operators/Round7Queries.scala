@@ -677,6 +677,42 @@ object Round7Queries {
       lab AS (SELECT label, sum(v * v) AS v2, count(*) / 64 AS n FROM q GROUP BY label)
       SELECT l.label, CAST(l.n AS BIGINT) AS n_vecs,
         round((l.v2 / l.n - s.sd2 / (l.n * l.n)) / 1e8, 4) AS cohesion
-      FROM lab l JOIN sd2 s ON l.label = s.label ORDER BY l.label"""))
+      FROM lab l JOIN sd2 s ON l.label = s.label ORDER BY l.label""")),
+
+    // ----- embedding cluster separation (pairwise centroid distances) ----
+    // q130's companion: squared distance between every pair of label
+    // centroids. Centroids are rounded to INTEGER-quantized coordinates
+    // first, so the 64-term distance sum is exact in IEEE double in any
+    // aggregation order (the raw S_d/n centroids would make it an
+    // order-sensitive double sum). The pair join is an equi-join on the
+    // dimension index over the |labels| x dims centroid table — bounded
+    // regardless of corpus size.
+    ("q131_cluster_separation", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cent = Tables.spread(Tables.t(s, dir, "embeddings"))
+        .select($"label", posexplode($"embedding").as(Seq("j0", "x")))
+        .select($"label", ($"j0" + 1).as("j"),
+          round($"x".cast("double") * 10000).as("v"))
+        .groupBy($"label", $"j")
+        .agg(round(sum($"v") / count(lit(1))).as("c"))
+      val a = cent.select($"label".as("la"), $"j", $"c".as("ca"))
+      val b = cent.select($"label".as("lb"), $"j", $"c".as("cb"))
+      a.join(b, Seq("j")).filter($"la" < $"lb")
+        .groupBy($"la", $"lb")
+        .agg(sum(($"ca" - $"cb") * ($"ca" - $"cb")).as("d2"))
+        .select($"la".as("label_a"), $"lb".as("label_b"),
+          round($"d2" / 1e8, 4).as("centroid_dist2"))
+        .orderBy("label_a", "label_b")
+    }, Some("""
+      WITH q AS (SELECT label, j, round(CAST(embedding[CAST(j AS INT)] AS DOUBLE) * 10000) AS v
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(j)),
+      cent AS (SELECT label, j, round(sum(v) / count(*)) AS c FROM q GROUP BY label, j),
+      pairs AS (SELECT a.label AS la, b.label AS lb,
+          sum((a.c - b.c) * (a.c - b.c)) AS d2
+        FROM cent a JOIN cent b ON a.j = b.j AND a.label < b.label
+        GROUP BY a.label, b.label)
+      SELECT la AS label_a, lb AS label_b,
+        round(d2 / 1e8, 4) AS centroid_dist2
+      FROM pairs ORDER BY label_a, label_b"""))
   )
 }

@@ -353,6 +353,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"dim sums not map-side combined:\n$plan")
   }
 
+  test("q131 separation: pair join is an equi-join on the dimension index") {
+    val df = SparkEntry.queries("q131_cluster_separation")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid pair join degenerated:\n$plan")
+  }
+
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()
