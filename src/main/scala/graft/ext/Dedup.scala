@@ -118,6 +118,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sketch-calibration audit over the SAME candidate pipeline as
+    * minhashLshPairsHashed: for every LSH candidate pair, the Jaccard
+    * the 2·nBands-component signature ESTIMATES (matching components /
+    * components) next to the exact shingle-set Jaccard. The estimate is
+    * an integer count divided once by a power of two, so it is
+    * bit-identical on any engine; the shapes are the proven ones — band
+    * equi-join candidates, narrow (id, id) pair rows, signatures and
+    * hash sets joined back by id from the one localCheckpoint'd scan. */
+  def minhashCalibration(hashedDocs: DataFrame, nBands: Int): DataFrame = {
+    val k = nBands * 2
+    val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
+    val mhs = (0 until k).map(s => minhashInt(col("hs"), s))
+    val sig = hs.select(col("id"), array(mhs: _*).as("mh"), col("hs"))
+    val bands = (0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))
+    val banded = hs.select(col("id"), explode(array(bands: _*)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("id").as("id_a"), col("mh").as("mh_a"), col("hs").as("h_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("mh").as("mh_b"), col("hs").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("mh_a"), col("mh_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), _ + _).cast("double") / k).as("est_jaccard"),
+        jaccard(col("h_a"), col("h_b")).as("exact_jaccard"))
+  }
+
   /** Hex-digit value of md5 at `pos` (1-based), as SQL shared by engines. */
   def md5DigitSql(mExpr: String, pos: Int): String =
     s"(instr('0123456789abcdef', substr($mExpr, $pos, 1)) - 1)"

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{TextAnalysis => TA}
+import graft.ext.{Dedup, TextAnalysis => TA}
 import graft.functions.UnicodeNormFns
 
 /** Round-7 additions beyond the reference surface — corpus-QA operators
@@ -18,6 +18,32 @@ object Round7Queries {
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
 
   type QFn = (SparkSession, String) => DataFrame
+
+  /** DuckDB CTE chain for the MinHash pipeline ending in
+    * `cand(id_a, id_b)` candidate pairs plus the signature table
+    * `mh(doc_id, m0..m7)` and hash-set table `hst(doc_id, hs)` —
+    * the oracle side of Dedup.minhashLshPairsHashed's shapes (same
+    * template as ExtQueries' q21 oracle; repeated here because q136/q139
+    * consume the intermediate tables, not just the verified pairs). */
+  private def minhashCandCte: String = {
+    val mhDefs = (0 until 8).map(s => s"${Dedup.minhashSql(s)} AS m$s")
+      .mkString(",\n        ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS band_key FROM mh")
+      .mkString("\n        UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
+        i -> array_to_string(arr[i:i+2], ' '))) AS sh FROM d),
+      hst AS (SELECT doc_id, list_distinct(list_transform(sh,
+        g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs FROM sh),
+      mh AS (SELECT doc_id,
+        $mhDefs
+        FROM hst),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_idx, band_key)
+        WHERE a.doc_id < b.doc_id)"""
+  }
 
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -713,6 +739,290 @@ object Round7Queries {
         GROUP BY a.label, b.label)
       SELECT la AS label_a, lb AS label_b,
         round(d2 / 1e8, 4) AS centroid_dist2
-      FROM pairs ORDER BY label_a, label_b"""))
+      FROM pairs ORDER BY label_a, label_b""")),
+
+    // ----- paragraph-level exact dedup (CCNet-style) ---------------------
+    // Documents are split into fixed 10-word blocks ("paragraphs" — the
+    // corpus has no newline structure); a block that occurs verbatim in
+    // MORE THAN ONE document is removed everywhere, and the surviving
+    // blocks are reassembled in order. Both heavy steps key on the block
+    // text itself — the frequency aggregate and the join back are
+    // co-partitioned equi-joins, so there is no cross join at any corpus
+    // size; the reassembly collect_list is bounded by a single document's
+    // block count. The cleaned text is reported as an md5 so row width
+    // stays O(1) regardless of document size.
+    ("q132_paragraph_dedup", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val B = 10
+      val blocks = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", split(TA.normText($"text"), " ").as("a"))
+        .select($"doc_id", $"a", size($"a").as("n"))
+        .select($"doc_id", explode(expr(s"sequence(1, n, $B)")).as("j"), $"a")
+        .select($"doc_id", $"j", expr(s"array_join(slice(a, j, $B), ' ')").as("blk"))
+      val dup = blocks.groupBy($"blk").agg(countDistinct($"doc_id").as("nd"))
+      blocks.join(dup, Seq("blk"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_removed"),
+          // collect_list skips the NULLs the `when` produces for removed
+          // blocks; array_sort on struct(j, blk) restores document order
+          md5(array_join(
+            expr("transform(array_sort(collect_list(CASE WHEN nd <= 1 THEN struct(j, blk) END)), s -> s.blk)"),
+            " ")).as("clean_hash"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+      blks AS (SELECT doc_id, j,
+          array_to_string(list_slice(a, CAST(j AS INT), CAST(least(j + 9, len(a)) AS INT)), ' ') AS blk
+        FROM base, unnest(range(1, len(a) + 1, 10)) AS t(j)),
+      dup AS (SELECT blk, count(DISTINCT doc_id) AS nd FROM blks GROUP BY blk)
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(sum(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        md5(coalesce(string_agg(CASE WHEN d.nd <= 1 THEN b.blk END, ' ' ORDER BY b.j), '')) AS clean_hash
+      FROM blks b JOIN dup d ON b.blk = d.blk
+      GROUP BY b.doc_id ORDER BY doc_id""")),
+
+    // ----- duplicated-span coverage (interval-merge islands) -------------
+    // The span-level view of q115: every word 3-gram window that also
+    // occurs in another document marks the interval [j, j+2]; per document
+    // we report how many token positions the UNION of those intervals
+    // covers (overlapping windows are merged via the classic
+    // islands-and-gaps running-max, one window pass per document). This is
+    // the exact-substring-dedup coverage statistic: q115 counts duplicated
+    // grams, this measures how much of each document they blanket.
+    ("q133_dup_span_coverage", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val base = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", split(TA.normText($"text"), " ").as("a"))
+        .select($"doc_id", $"a", size($"a").cast("long").as("n_tokens"))
+      val wins = base.filter($"n_tokens" >= 3)
+        .select($"doc_id", explode(expr("sequence(1, size(a) - 2)")).as("j"), $"a")
+        .select($"doc_id", $"j", ($"j" + 2).as("e"),
+          expr("array_join(slice(a, j, 3), ' ')").as("gram"))
+      val freq = wins.groupBy($"gram").agg(countDistinct($"doc_id").as("nd"))
+      val dupWins = wins.join(freq, Seq("gram")).filter($"nd" > 1)
+        .select($"doc_id", $"j", $"e")
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"j")
+      val prevMax = max($"e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = dupWins
+        .withColumn("ni", when(prevMax.isNull || $"j" > prevMax, 1).otherwise(0))
+        .withColumn("iid", sum($"ni").over(byDoc))
+        .groupBy($"doc_id", $"iid")
+        .agg((max($"e") - min($"j") + 1).as("ilen"))
+        .groupBy($"doc_id")
+        .agg(sum($"ilen").cast("long").as("covered"))
+      base.select($"doc_id", $"n_tokens")
+        .join(islands, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"covered", lit(0L)).as("covered"),
+          (coalesce($"covered", lit(0L)).cast("double") / $"n_tokens").as("dup_coverage"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH base AS (SELECT doc_id, string_split($normSql, ' ') AS a FROM documents),
+      docs AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_tokens FROM base),
+      wins AS (SELECT doc_id, j, j + 2 AS e,
+          array_to_string(list_slice(a, CAST(j AS INT), CAST(j + 2 AS INT)), ' ') AS gram
+        FROM base, unnest(range(1, len(a) - 1)) AS t(j) WHERE len(a) >= 3),
+      freq AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM wins GROUP BY gram),
+      dup AS (SELECT w.doc_id, w.j, w.e FROM wins w JOIN freq f ON w.gram = f.gram WHERE f.nd > 1),
+      isl AS (SELECT doc_id, j, e, CASE WHEN
+          max(e) OVER (PARTITION BY doc_id ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR j > max(e) OVER (PARTITION BY doc_id ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1 ELSE 0 END AS ni FROM dup),
+      isl2 AS (SELECT doc_id, j, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY j) AS iid FROM isl),
+      per AS (SELECT doc_id, iid, max(e) - min(j) + 1 AS ilen FROM isl2 GROUP BY doc_id, iid),
+      cov AS (SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS covered FROM per GROUP BY doc_id)
+      SELECT d.doc_id, d.n_tokens,
+        CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
+        CAST(coalesce(c.covered, 0) AS DOUBLE) / d.n_tokens AS dup_coverage
+      FROM docs d LEFT JOIN cov c USING (doc_id) ORDER BY doc_id""")),
+
+    // ----- BPE merge-step statistics -------------------------------------
+    // One iteration of byte-pair-encoding vocabulary induction: the
+    // corpus-wide frequency of every adjacent character pair, weighted by
+    // word frequency. The key scale property is the word-frequency
+    // aggregate FIRST — pairs explode over the (bounded) vocabulary, not
+    // over the corpus, so a 100 TB corpus costs one token aggregate plus
+    // work proportional to |vocab|. Top-32 via TakeOrderedAndProject
+    // (no global sort).
+    ("q134_bpe_pairs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wf = Tables.spread(Tables.t(s, dir, "documents"))
+        .select(explode(split(TA.normText($"text"), " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .groupBy($"w").agg(count(lit(1)).as("f"))
+      wf.select($"f", explode(expr(
+          "transform(sequence(1, length(w) - 1), j -> substring(w, j, 2))")).as("pair"))
+        .groupBy($"pair").agg(sum($"f").as("pair_count"))
+        .orderBy($"pair_count".desc, $"pair")
+        .limit(32)
+        .select($"pair", $"pair_count")
+    }, Some(s"""
+      WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+      wf AS (SELECT w, count(*) AS f FROM toks WHERE len(w) >= 2 GROUP BY w),
+      pairs AS (SELECT substr(w, CAST(j AS INT), 2) AS pair, f
+        FROM wf, unnest(range(1, len(w))) AS t(j))
+      SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count FROM pairs
+      GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 32""")),
+
+    // ----- hard-negative mining (label-excluded top-k similarity) --------
+    // Contrastive-training data prep: for each query vector, the k most
+    // cosine-similar vectors with a DIFFERENT label — similar enough to be
+    // confused, labeled differently, i.e. hard negatives. Same integer
+    // quantization as q24 (exact dot products), query side broadcast so
+    // the candidate scan never shuffles, WindowGroupLimit caps the
+    // shuffle at |Q|*k rows.
+    ("q135_hard_negatives", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = Tables.spread(Tables.t(s, dir, "embeddings"))
+        .select($"vec_id".as("id"), $"label",
+          graft.ext.Similarity.quantize($"embedding").as("qvec"))
+        .withColumn("n2", graft.functions.Lambda.bind1(col("qvec"))(a =>
+          graft.ext.Similarity.norm2(a)))
+      val q = p.filter($"id" % 50 === 0)
+        .select($"id".as("q_id"), $"label".as("q_label"),
+          $"qvec".as("q_vec"), $"n2".as("q_n2"))
+      val c = p.select($"id".as("c_id"), $"label".as("c_label"),
+        $"qvec".as("c_vec"), $"n2".as("c_n2"))
+      val scored = c.crossJoin(broadcast(q))
+        .filter($"q_label" =!= $"c_label")
+        .select($"q_id", $"c_id", $"c_label",
+          graft.ext.Similarity.cosine(
+            graft.ext.Similarity.dot($"q_vec", $"c_vec"),
+            $"q_n2", $"c_n2").as("cos_sim"))
+      val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"c_id")
+      scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+        .select($"q_id", $"rnk", $"c_id", $"c_label", $"cos_sim")
+        .orderBy("q_id", "rnk")
+    }, Some("""
+      WITH p AS (SELECT vec_id, label,
+          list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS qvec
+        FROM embeddings),
+      n AS (SELECT vec_id, label, qvec, list_dot_product(qvec, qvec) AS n2 FROM p),
+      q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+      scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
+          list_dot_product(q.qvec, c.qvec) / sqrt(q.n2 * c.n2) AS cos_sim
+        FROM n c, q WHERE q.label <> c.label),
+      r AS (SELECT q_id, c_id, c_label, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM scored)
+      SELECT q_id, rnk, c_id, c_label, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+
+    // ----- near-dup graph degree distribution ----------------------------
+    // Ops view of the q21 dedup graph: how many documents participate in
+    // exactly d near-duplicate relationships. A long-tailed degree
+    // distribution is the early-warning signal for a template/boilerplate
+    // cluster that will blow up transitive dedup (one degree-10k hub =
+    // a 10k-document connected component). Pairs come from the same
+    // band equi-join pipeline as q21; the degree rollup is two bounded
+    // hash aggregates on top.
+    ("q136_dedup_degree_dist", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id".as("id"),
+          graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
+      Dedup.minhashLshPairsHashed(docs, nBands = 4, threshold = 0.5)
+        .select(explode(array($"id_a", $"id_b")).as("id"))
+        .groupBy($"id").agg(count(lit(1)).as("degree"))
+        .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }, Some(s"""
+      $minhashCandCte,
+      verified AS (SELECT id_a, id_b FROM cand
+        JOIN hst ha ON ha.doc_id = id_a
+        JOIN hst hb ON hb.doc_id = id_b
+        WHERE len(list_intersect(ha.hs, hb.hs)) / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5),
+      deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+          SELECT id_a AS id FROM verified UNION ALL SELECT id_b AS id FROM verified)
+        GROUP BY id)
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM deg
+      GROUP BY degree ORDER BY degree""")),
+
+    // ----- boilerplate prefix clusters -----------------------------------
+    // Crawl-dedup heuristic: documents sharing their first five normalized
+    // words verbatim are usually template instances (mirrors, generated
+    // pages). One hash aggregate keyed on the prefix string — the prefix
+    // IS the blocking key, so the operator is a pure groupBy at any
+    // corpus size; no pairwise anything.
+    ("q137_prefix_clusters", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id",
+          array_join(slice(split(TA.normText($"text"), " "), 1, 5), " ").as("prefix5"))
+        .groupBy($"prefix5")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_id"))
+        .filter($"n_docs" > 1)
+        .orderBy("keep_id")
+    }, Some(s"""
+      SELECT array_to_string(list_slice(string_split($normSql, ' '), 1, 5), ' ') AS prefix5,
+        CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+      FROM documents GROUP BY prefix5 HAVING count(*) > 1 ORDER BY keep_id""")),
+
+    // ----- per-source length deciles -------------------------------------
+    // Mixture-design input: the n_chars decile boundaries and populations
+    // within each source (ntile(10), ties broken by doc_id so the split
+    // is engine-deterministic). One window pass + one aggregate; the
+    // window is partitioned by source, so at scale each source's sort is
+    // its own shuffle partition set.
+    ("q138_length_deciles", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", $"doc_id", $"n_chars", ntile(10).over(w).as("decile"))
+        .groupBy($"source", $"decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+        .orderBy("source", "decile")
+    }, Some("""
+      WITH t AS (SELECT source, doc_id, n_chars,
+        ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS decile
+        FROM documents)
+      SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM t GROUP BY source, decile ORDER BY source, decile""")),
+
+    // ----- minhash sketch calibration ------------------------------------
+    // Sketch-quality audit: for every LSH candidate pair, the Jaccard the
+    // 8-component signature ESTIMATES (matching components / 8) next to
+    // the exact shingle Jaccard. Systematic est-vs-exact gaps mean the
+    // band/seed budget is mis-sized for the corpus before anyone trusts
+    // q21's threshold. Same shapes as the q21 pipeline: band equi-join
+    // candidates, narrow pair rows, signatures joined back by id.
+    ("q139_minhash_calibration", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id".as("id"),
+          graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
+      Dedup.minhashCalibration(docs, nBands = 4).orderBy("id_a", "id_b")
+    }, Some(s"""
+      $minhashCandCte,
+      est AS (SELECT id_a, id_b,
+          CAST(${(0 until 8).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 8 AS est_jaccard
+        FROM cand JOIN mh a ON a.doc_id = id_a JOIN mh b ON b.doc_id = id_b)
+      SELECT e.id_a, e.id_b, e.est_jaccard,
+        len(list_intersect(ha.hs, hb.hs)) / len(list_distinct(list_concat(ha.hs, hb.hs))) AS exact_jaccard
+      FROM est e JOIN hst ha ON ha.doc_id = e.id_a JOIN hst hb ON hb.doc_id = e.id_b
+      ORDER BY id_a, id_b""")),
+
+    // ----- fixed-size priority sample per source -------------------------
+    // Bottom-k (priority) sampling: exactly 5 documents per source, chosen
+    // by md5-hash order — the distributed fixed-size-per-group sampler
+    // (q42's Bernoulli gate yields a RATE, not a size). The rank<=k filter
+    // compiles to WindowGroupLimit, so each map task forwards at most k
+    // rows per source into the shuffle regardless of corpus size.
+    ("q140_priority_sample", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val h = md5($"doc_id".cast("string"))
+      val w = Window.partitionBy($"source").orderBy(h, $"doc_id")
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", $"doc_id", row_number().over(w).as("pick"))
+        .filter($"pick" <= 5)
+        .orderBy("source", "pick")
+    }, Some("""
+      WITH r AS (SELECT source, doc_id,
+        row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        FROM documents)
+      SELECT source, doc_id, pick FROM r WHERE pick <= 5 ORDER BY source, pick"""))
   )
 }

@@ -353,6 +353,77 @@ class PlanQualitySpec extends AnyFunSuite {
       s"dim sums not map-side combined:\n$plan")
   }
 
+  test("q132 paragraph dedup: block-frequency join is an equi-join, two-phase agg") {
+    val df = SparkEntry.queries("q132_paragraph_dedup")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"block join degenerated:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"block frequency not hash-aggregated:\n$plan")
+  }
+
+  test("q133 span coverage: gram join stays equi, islands are one window pass per doc") {
+    val df = SparkEntry.queries("q133_dup_span_coverage")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram join degenerated:\n$plan")
+  }
+
+  test("q134 BPE pairs: top-32 via TakeOrderedAndProject, vocab aggregated before pair explode") {
+    val df = SparkEntry.queries("q134_bpe_pairs")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), s"top-32 global-sorted:\n$plan")
+    // the word-frequency aggregate must run below the pair explode —
+    // generate appearing above an aggregate in the plan tree
+    assert(plan.contains("Generate") && plan.contains("HashAggregate"),
+      s"vocab-first shape missing:\n$plan")
+  }
+
+  test("q135 hard negatives: query side broadcast, WindowGroupLimit caps the shuffle") {
+    val df = SparkEntry.queries("q135_hard_negatives")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("q136 degree dist: band join stays equi, degree rollup is hash-aggregated") {
+    val df = SparkEntry.queries("q136_dedup_degree_dist")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated:\n$plan")
+    assert(plan.contains("HashAggregate"), s"degree rollup not hash-aggregated:\n$plan")
+  }
+
+  test("q137 prefix clusters: pure groupBy on the prefix key, no joins at all") {
+    val df = SparkEntry.queries("q137_prefix_clusters")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"prefix clustering should not join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"prefix aggregate not two-phase:\n$plan")
+  }
+
+  test("q139 calibration: candidate generation is the band equi-join, not a cross join") {
+    val df = SparkEntry.queries("q139_minhash_calibration")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"calibration pair join degenerated:\n$plan")
+  }
+
+  test("q140 priority sample: rank<=k compiles to WindowGroupLimit") {
+    val df = SparkEntry.queries("q140_priority_sample")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("q131 separation: pair join is an equi-join on the dimension index") {
     val df = SparkEntry.queries("q131_cluster_separation")(spark, TestSpark.Sf)
     df.collect()
