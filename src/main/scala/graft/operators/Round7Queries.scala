@@ -1023,6 +1023,191 @@ object Round7Queries {
         row_number() OVER (PARTITION BY source
           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
         FROM documents)
-      SELECT source, doc_id, pick FROM r WHERE pick <= 5 ORDER BY source, pick"""))
+      SELECT source, doc_id, pick FROM r WHERE pick <= 5 ORDER BY source, pick""")),
+
+    // ----- partitioned layout + partition-pruned read --------------------
+    // The table-layout story at 100 TB: documents written
+    // `partitionBy(source)`, then read back with a partition predicate.
+    // The predicate must resolve at PLANNING time from the directory
+    // structure (PartitionFilters in the scan, asserted in
+    // PlanQualitySpec) — at scale this is the difference between listing
+    // one directory and scanning the corpus. The n_chars predicate rides
+    // alongside as an ordinary pushed filter.
+    ("q141_partition_prune", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q141").toString
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"n_chars", $"source")
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter($"source" === "src3" && $"n_chars" >= 100)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy("source")
+    }, Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents WHERE source = 'src3' AND n_chars >= 100
+      GROUP BY source ORDER BY source""")),
+
+    // ----- bucketed co-located join (zero-shuffle) -----------------------
+    // Both sides written `bucketBy(8, custkey)` into the session catalog;
+    // the join then consumes the bucketing as its distribution — NO
+    // exchange below the SortMergeJoin (plan-asserted). This is the
+    // pre-partitioning answer to the biggest 100 TB cost in the battery:
+    // a fact-dimension join that would otherwise shuffle the fact table
+    // every run is shuffled ONCE at write time and never again.
+    ("q142_bucketed_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // drop both catalog entry AND location: a previous JVM's managed
+      // table survives as a directory this session's in-memory catalog
+      // has never heard of, and CTAS refuses an occupied location
+      Seq("g_orders_bkt", "g_customer_bkt").foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val p = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("g_orders_bkt")
+      Tables.t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("g_customer_bkt")
+      s.table("g_orders_bkt").hint("merge")
+        .join(s.table("g_customer_bkt"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_custs"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ----- ORC sink/source round trip ------------------------------------
+    // The second columnar format the engine speaks natively: lineitem
+    // written to ORC, read back with a pushed predicate (asserted), and
+    // aggregated under the q01 decimal-exact sum rule. The values survive
+    // the round trip bit-identically (same IEEE doubles in both formats),
+    // so the oracle reads the original parquet.
+    ("q143_orc_roundtrip", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q143").toString
+      Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter($"l_quantity" >= 25)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .cast("double").as("sum_qty"),
+          min($"l_orderkey").as("min_key"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        min(l_orderkey) AS min_key
+      FROM lineitem WHERE l_quantity >= 25
+      GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ----- native session_window sessionization --------------------------
+    // q28 builds sessions by hand (lag + islands); this is Spark's native
+    // session_window aggregate — merge-on-overlap semantics, where an
+    // event exactly gap seconds after the previous one starts a NEW
+    // session (the window is [start, last+gap), open on the right), hence
+    // the >= 1800 island rule in the oracle vs q28's > 1800. Two hash
+    // aggregates, both keyed on user_id — one shuffle, reused.
+    ("q144_session_window_native", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .select($"user_id", date_trunc("second", $"ts").as("tsec"))
+        .groupBy($"user_id", session_window($"tsec", "30 minutes"))
+        .agg(count(lit(1)).as("sess_events"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"sess_events").as("n_events"),
+          max($"sess_events").as("max_sess_events"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH e AS (SELECT user_id, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec FROM events),
+      f AS (SELECT user_id, event_id, tsec,
+        CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) IS NULL
+               OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) >= 1800
+             THEN 1 ELSE 0 END AS ns FROM e),
+      g AS (SELECT user_id,
+        sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS sid FROM f),
+      per AS (SELECT user_id, sid, count(*) AS sess_events FROM g GROUP BY user_id, sid)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(sum(sess_events) AS BIGINT) AS n_events,
+        CAST(max(sess_events) AS BIGINT) AS max_sess_events
+      FROM per GROUP BY user_id ORDER BY user_id""")),
+
+    // ----- streaming stream-static enrichment join under the gate --------
+    // The streaming star-join: events stream in, the customer dimension
+    // is static and broadcast into every micro-batch. Aggregation in
+    // complete mode makes the result arrival-order-independent, so the
+    // batch join is the exact oracle (q67's pattern, extended from
+    // plain aggregation to join + aggregation).
+    ("q145_stream_static_join", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q145")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = graft.streaming.EventStream.streamFromParquetDir(s, tmp.toString)
+      val dim = Tables.t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      val q = graft.streaming.EventStream.enrichedTypeCounts(stream, dim)
+        .writeStream.format("memory").queryName("q145_mem")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q145_mem")
+        .select($"c_mktsegment", $"event_type", $"n_events")
+        .orderBy("c_mktsegment", "event_type")
+    }, Some("""
+      SELECT c_mktsegment, event_type, count(*) AS n_events
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type""")),
+
+    // ----- dynamic partition pruning -------------------------------------
+    // The third leg of the layout story (q141 static prune, q142
+    // bucketing): the fact table is partitioned by source, and the
+    // partitions to read are only known AFTER planning the dim side —
+    // Catalyst injects a dynamic-pruning subquery into the fact scan
+    // (plan-asserted), so at 100 TB the scan reads 3 of N partitions
+    // even though no literal source predicate exists on the fact side.
+    ("q146_dynamic_partition_prune", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q146").toString
+      Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"n_chars", $"source")
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      // the dim must be a real scan with a surviving Filter node — a
+      // literal Seq folds into a LocalRelation and DPP's
+      // selective-predicate check never sees a filter
+      val dimTmp = java.nio.file.Files.createTempDirectory("graft_q146d").toString
+      Seq(("src1", 1), ("src5", 2), ("src7", 3), ("src9", 9))
+        .toDF("source", "grp").write.mode("overwrite").parquet(dimTmp)
+      val dim = s.read.parquet(dimTmp).filter($"grp" <= 3)
+      s.read.parquet(tmp).join(dim, Seq("source"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy("grp")
+    }, Some("""
+      SELECT CASE source WHEN 'src1' THEN 1 WHEN 'src5' THEN 2 ELSE 3 END AS grp,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents WHERE source IN ('src1', 'src5', 'src7')
+      GROUP BY 1 ORDER BY grp"""))
   )
 }

@@ -56,6 +56,16 @@ object EventStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** Stream-static enrichment: every micro-batch joins the (small,
+    * broadcast) static dimension — the canonical streaming star-join.
+    * The static side is planned once and rebroadcast per batch; no
+    * stream-side state is needed for the join itself, so state is
+    * bounded by the downstream aggregate alone. */
+  def enrichedTypeCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Stream-stream interval self-join: purchases attributed to the same
     * user's clicks within the preceding hour. Both sides carry watermarks
     * and the join condition bounds event-time distance, so the engine

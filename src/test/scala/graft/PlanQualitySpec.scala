@@ -424,6 +424,53 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("q141 partitioned read: source predicate resolves as a PartitionFilter at planning time") {
+    val df = SparkEntry.queries("q141_partition_prune")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("PartitionFilters") && plan.matches("(?s).*PartitionFilters: \\[[^\\]]*source[^\\]]*\\].*"),
+      s"source filter not a partition filter:\n$plan")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*n_chars[^\\]]*\\].*"),
+      s"n_chars filter not pushed to the scan:\n$plan")
+  }
+
+  test("q142 bucketed join: no exchange below the SortMergeJoin (bucketing consumed)") {
+    val df = SparkEntry.queries("q142_bucketed_join")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"merge hint not honored:\n$plan")
+    val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"),
+      s"bucketed join still shuffles its inputs:\n$plan")
+  }
+
+  test("q143 ORC read: quantity predicate pushed into the ORC scan") {
+    val df = SparkEntry.queries("q143_orc_roundtrip")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      s"l_quantity filter not pushed to the ORC scan:\n$plan")
+  }
+
+  test("q144 native sessions: both aggregates share the one user_id shuffle") {
+    val df = SparkEntry.queries("q144_session_window_native")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("SessionWindow") || plan.contains("session_window"),
+      s"native session window missing:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1,
+      s"per-user rollup re-shuffled ($hashExchanges hash exchanges):\n$plan")
+  }
+
+  test("q146 DPP: fact scan carries a dynamic-pruning subquery on source") {
+    val df = SparkEntry.queries("q146_dynamic_partition_prune")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in:\n$plan")
+  }
+
   test("q131 separation: pair join is an equi-join on the dimension index") {
     val df = SparkEntry.queries("q131_cluster_separation")(spark, TestSpark.Sf)
     df.collect()
