@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1208,6 +1208,128 @@ object Round7Queries {
         CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(n_chars) AS BIGINT) AS total_chars
       FROM documents WHERE source IN ('src1', 'src5', 'src7')
-      GROUP BY 1 ORDER BY grp"""))
+      GROUP BY 1 ORDER BY grp""")),
+
+    // ----- z-order curve + zone-map skipping audit -----------------------
+    // The data-skipping argument in one operator: documents are assigned a
+    // Morton z-value interleaving n_chars (10 bits) with the source id
+    // (5 bits); zone maps (per-bucket min/max of both dims) are computed
+    // for the natural doc_id layout AND for z-range buckets, and the
+    // 2-D predicate n_chars∈[100,200] ∧ src_id∈[4,7] is tested against
+    // each bucket's ranges. Linear layout scans every bucket (n_chars and
+    // source are uncorrelated with doc_id); the z-order layout skips the
+    // large majority — the quantified case for Delta/Iceberg-style
+    // OPTIMIZE ZORDER at 100 TB, where a bucket is a parquet file and
+    // skipped buckets are files never opened. Everything is integer
+    // arithmetic + two groupBys: fully distributed, engine-exact.
+    ("q147_zone_map_skipping", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val zSpark = ((0 until 10).map(j => s"((n_chars div ${1 << j}) % 2) * ${1L << (2 * j + 1)}") ++
+        (0 until 5).map(j => s"((src_id div ${1 << j}) % 2) * ${1L << (2 * j)}")).mkString(" + ")
+      val withZ = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"n_chars",
+          expr("CAST(substring(source, 4, 4) AS INT)").as("src_id"))
+        .withColumn("zval", expr(zSpark))
+      def stats(name: String, bucket: Column): DataFrame = withZ
+        .groupBy(bucket.as("bucket"))
+        .agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"),
+          min($"src_id").as("ms"), max($"src_id").as("xs"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when($"mn" <= 200 && $"mx" >= 100 && $"ms" <= 7 && $"xs" >= 4, 1L)
+            .otherwise(0L)).as("scanned_buckets"))
+        .select(lit(name).as("layout"), $"n_buckets", $"scanned_buckets",
+          (($"n_buckets" - $"scanned_buckets").cast("double") / $"n_buckets").as("skipped_frac"))
+      stats("linear", expr("doc_id div 64"))
+        .unionByName(stats("zorder", expr("zval div 2048")))
+        .orderBy("layout")
+    }, Some {
+      val zDuck = ((0 until 10).map(j => s"((n_chars // ${1 << j}) % 2) * ${1L << (2 * j + 1)}") ++
+        (0 until 5).map(j => s"((src_id // ${1 << j}) % 2) * ${1L << (2 * j)}")).mkString(" + ")
+      s"""
+      WITH base AS (SELECT doc_id, n_chars, CAST(substr(source, 4) AS INT) AS src_id FROM documents),
+      z AS (SELECT doc_id, n_chars, src_id, $zDuck AS zval FROM base),
+      lin AS (SELECT doc_id // 64 AS bucket, min(n_chars) AS mn, max(n_chars) AS mx,
+          min(src_id) AS ms, max(src_id) AS xs FROM z GROUP BY 1),
+      zo AS (SELECT zval // 2048 AS bucket, min(n_chars) AS mn, max(n_chars) AS mx,
+          min(src_id) AS ms, max(src_id) AS xs FROM z GROUP BY 1),
+      s1 AS (SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(sum(CASE WHEN mn <= 200 AND mx >= 100 AND ms <= 7 AND xs >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS scanned_buckets
+        FROM lin),
+      s2 AS (SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+          CAST(sum(CASE WHEN mn <= 200 AND mx >= 100 AND ms <= 7 AND xs >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS scanned_buckets
+        FROM zo),
+      u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      SELECT layout, n_buckets, scanned_buckets,
+        CAST(n_buckets - scanned_buckets AS DOUBLE) / n_buckets AS skipped_frac
+      FROM u ORDER BY layout"""
+    }),
+
+    // ----- join-key skew diagnosis ---------------------------------------
+    // The report you run BEFORE choosing salt factors (q58/q59): for each
+    // candidate join key, its cardinality, the hottest key's frequency,
+    // and the share of all rows the hottest key carries — the number that
+    // decides whether a shuffle on that key melts one executor. Each key
+    // costs one two-phase aggregate plus a 1-row rollup; keys are
+    // diagnosed independently (a union of bounded aggregates).
+    ("q148_skew_diagnosis", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val li = Tables.t(s, dir, "lineitem")
+      def keyStats(c: String): DataFrame = li
+        .groupBy(col(c)).agg(count(lit(1)).as("f"))
+        .agg(sum($"f").as("n_rows"), count(lit(1)).as("n_keys"),
+          max($"f").as("max_freq"))
+        .select(lit(c).as("key_col"), $"n_rows", $"n_keys", $"max_freq",
+          ($"max_freq".cast("double") / $"n_rows").as("hot_share"))
+      keyStats("l_orderkey")
+        .unionByName(keyStats("l_partkey"))
+        .unionByName(keyStats("l_suppkey"))
+        .orderBy("key_col")
+    }, Some("""
+      WITH s AS (
+        SELECT 'l_orderkey' AS key_col, f FROM (SELECT count(*) AS f FROM lineitem GROUP BY l_orderkey)
+        UNION ALL
+        SELECT 'l_partkey', f FROM (SELECT count(*) AS f FROM lineitem GROUP BY l_partkey)
+        UNION ALL
+        SELECT 'l_suppkey', f FROM (SELECT count(*) AS f FROM lineitem GROUP BY l_suppkey))
+      SELECT key_col, CAST(sum(f) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_keys, CAST(max(f) AS BIGINT) AS max_freq,
+        CAST(max(f) AS DOUBLE) / sum(f) AS hot_share
+      FROM s GROUP BY key_col ORDER BY key_col""")),
+
+    // ----- CDC changelog compaction (last-writer-wins) -------------------
+    // The lakehouse MERGE primitive q88's SCD2 doesn't cover: an ordered
+    // changelog (upserts + deletes) collapsed to its final state and
+    // applied to a base snapshot. Latest-per-key is a WindowGroupLimit
+    // (rank 1 by event time, map tasks forward one row per key); the
+    // apply is one full-outer equi-join. 'error' events play the delete
+    // tombstone; everything else upserts the event's value.
+    ("q149_cdc_compaction", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val latest = Tables.t(s, dir, "events")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id".as("k"),
+          when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+          $"value".as("nv"))
+      val base = Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("k"), $"c_acctbal".cast("double").as("bv"))
+      base.join(latest, Seq("k"), "full_outer")
+        .filter($"op".isNull || $"op" === "U")
+        .select($"k", coalesce($"nv", $"bv").as("val"),
+          when($"op".isNull, "base").when($"bv".isNull, "inserted")
+            .otherwise("updated").as("row_state"))
+        .orderBy("k")
+    }, Some("""
+      WITH latest AS (SELECT user_id AS k,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value AS nv
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      base AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bv FROM customer)
+      SELECT COALESCE(b.k, l.k) AS k, COALESCE(l.nv, b.bv) AS val,
+        CASE WHEN l.op IS NULL THEN 'base' WHEN b.k IS NULL THEN 'inserted'
+             ELSE 'updated' END AS row_state
+      FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+      WHERE l.op IS NULL OR l.op = 'U'
+      ORDER BY k"""))
   )
 }

@@ -471,6 +471,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no dynamic partition pruning in:\n$plan")
   }
 
+  test("q147 zone maps: pure two-phase aggregates, no join anywhere") {
+    val df = SparkEntry.queries("q147_zone_map_skipping")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"zone-map audit should not join:\n$plan")
+    assert(plan.contains("HashAggregate"), s"bucket stats not hash-aggregated:\n$plan")
+  }
+
+  test("q148 skew diagnosis: union of bounded aggregates, no join") {
+    val df = SparkEntry.queries("q148_skew_diagnosis")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"skew diagnosis should not join:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"key frequency not two-phase:\n$plan")
+  }
+
+  test("q149 CDC compaction: latest-per-key is WindowGroupLimit, apply is an equi-join") {
+    val df = SparkEntry.queries("q149_cdc_compaction")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"CDC apply degenerated:\n$plan")
+  }
+
   test("q131 separation: pair join is an equi-join on the dimension index") {
     val df = SparkEntry.queries("q131_cluster_separation")(spark, TestSpark.Sf)
     df.collect()
