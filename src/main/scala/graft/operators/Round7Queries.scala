@@ -1123,10 +1123,12 @@ object Round7Queries {
 
     // ----- native session_window sessionization --------------------------
     // q28 builds sessions by hand (lag + islands); this is Spark's native
-    // session_window aggregate — merge-on-overlap semantics, where an
-    // event exactly gap seconds after the previous one starts a NEW
-    // session (the window is [start, last+gap), open on the right), hence
-    // the >= 1800 island rule in the oracle vs q28's > 1800. Two hash
+    // session_window aggregate — merge-on-overlap semantics where an
+    // event landing EXACTLY gap seconds after the previous one still
+    // merges (closed right edge; verified empirically — two events
+    // 1800 s apart form ONE session), so the island rule is > 1800,
+    // identical to q28's. sf0.1 exercises this boundary: an earlier
+    // >= 1800 oracle split one real 1800 s gap Spark merges. Two hash
     // aggregates, both keyed on user_id — one shuffle, reused.
     ("q144_session_window_native", (s: SparkSession, dir: String) => {
       import s.implicits._
@@ -1143,7 +1145,7 @@ object Round7Queries {
         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS tsec FROM events),
       f AS (SELECT user_id, event_id, tsec,
         CASE WHEN lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) IS NULL
-               OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) >= 1800
+               OR tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec, event_id) > 1800
              THEN 1 ELSE 0 END AS ns FROM e),
       g AS (SELECT user_id,
         sum(ns) OVER (PARTITION BY user_id ORDER BY tsec, event_id) AS sid FROM f),
