@@ -1332,6 +1332,179 @@ object Round7Queries {
              ELSE 'updated' END AS row_state
       FROM base b FULL OUTER JOIN latest l ON b.k = l.k
       WHERE l.op IS NULL OR l.op = 'U'
-      ORDER BY k"""))
+      ORDER BY k""")),
+
+    // ----- broadcast bloom semi-filter (runtime row-level pruning) -------
+    // q146 prunes PARTITIONS at runtime from the dim side; this is the
+    // row-level counterpart when the fact table isn't partitioned on the
+    // join key: a 64K-bit membership bitmap (2048 words x 32 bits, keyed
+    // by an md5-derived bucket) is built from the filtered dim's keys as
+    // one tiny aggregate, broadcast, and applied to the fact scan as an
+    // equi-join on the word index + a bit test — rows that cannot match
+    // never enter the real join. The exact join behind it keeps the
+    // result correct regardless of bitmap false positives; the grp=-1
+    // stats row (bloom-passed vs exactly-matched counts) pins the bitmap
+    // construction bit-for-bit against the oracle. At 100 TB the bitmap
+    // plays Spark's injected runtime bloom filter with the FP rate under
+    // the operator's control; everything before the final aggregate is
+    // map-side.
+    ("q150_bloom_runtime_filter", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      def bucket(c: Column): Column =
+        conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % 65536
+      val dim = Tables.t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", $"c_nationkey")
+      val bm = dim.withColumn("h", bucket($"c_custkey"))
+        .select(expr("h div 32").as("word"), expr("CAST(h % 32 AS INT)").as("bit"))
+        .groupBy($"word")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      val passed = Tables.t(s, dir, "orders")
+        .select($"o_custkey", $"o_totalprice")
+        .withColumn("h", bucket($"o_custkey"))
+        .withColumn("word", expr("h div 32"))
+        .withColumn("bit", expr("CAST(h % 32 AS INT)"))
+        .join(broadcast(bm), Seq("word"))
+        .filter(expr("(shiftright(bits, bit) & 1) = 1"))
+      val joined = passed.join(broadcast(dim), $"o_custkey" === $"c_custkey")
+      val agg = joined.groupBy($"c_nationkey".as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)")
+            .as("total_cents"))
+      val stats = passed.agg(count(lit(1)).as("np"))
+        .crossJoin(joined.agg(count(lit(1)).as("ne")))
+        .select(lit(-1).as("grp"), $"np".as("n_rows"), $"ne".as("total_cents"))
+      agg.unionByName(stats).orderBy("grp")
+    }, Some("""
+      WITH dim AS (SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_mktsegment = 'BUILDING'),
+      dh AS (SELECT c_custkey, c_nationkey,
+        ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 65536 AS h FROM dim),
+      bm AS (SELECT h // 32 AS word,
+        bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits FROM dh GROUP BY 1),
+      oh AS (SELECT o_custkey, o_totalprice,
+        ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 65536 AS h FROM orders),
+      pass AS (SELECT o.o_custkey, o.o_totalprice FROM oh o
+        JOIN bm ON bm.word = o.h // 32
+        WHERE ((bm.bits >> CAST(o.h % 32 AS INT)) & 1) = 1),
+      agg AS (SELECT d.c_nationkey AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS total_cents
+        FROM pass p JOIN dim d ON p.o_custkey = d.c_custkey GROUP BY 1),
+      stats AS (SELECT -1 AS grp,
+        CAST((SELECT count(*) FROM pass) AS BIGINT) AS n_rows,
+        CAST((SELECT count(*) FROM pass p JOIN dim d ON p.o_custkey = d.c_custkey) AS BIGINT) AS total_cents)
+      SELECT grp, n_rows, total_cents FROM agg
+      UNION ALL SELECT grp, n_rows, total_cents FROM stats
+      ORDER BY grp""")),
+
+    // ----- co-occurrence pair mining (market-basket) ---------------------
+    // Which items travel together: distinct (order, part) pairs self-join
+    // on the order key — multiplicity bounded by items-per-order squared
+    // (~7 items -> <=21 pairs per order at any corpus size, so the
+    // equi-join output is linear in orders, never quadratic in the
+    // table), two-phase count per pair, TakeOrderedAndProject top-32
+    // under a total order. The same shape mines token co-occurrence or
+    // doc-pair affinity in a training corpus.
+    ("q151_cooccurrence_pairs", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val items = Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      items.toDF("ok", "p1").join(items.toDF("ok", "p2"), Seq("ok"))
+        .filter($"p1" < $"p2")
+        .groupBy($"p1", $"p2").agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), $"p1", $"p2").limit(32)
+    }, Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 32""")),
+
+    // ----- incremental view maintenance (delta merge, no base rescan) ----
+    // The materialized-view refresh primitive: a stored per-nation
+    // balance aggregate (base, cents) is brought current by aggregating
+    // ONLY the changelog (events joined to the broadcast customer dim,
+    // micro-units) and full-outer-merging the two one-row-per-group
+    // sides. Work is proportional to |delta|, not |base fact|: at 100 TB
+    // the base aggregate is a tiny stored table and the day's events are
+    // the only scan. Monetary/base amounts stay in exact decimal cents;
+    // delta doubles become integer micros via floor (per-row IEEE op,
+    // engine-exact) so no double sum ever crosses the shuffle.
+    ("q152_incremental_view", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cust = Tables.t(s, dir, "customer")
+      val base = cust.groupBy($"c_nationkey".as("grp"))
+        .agg(expr("CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)")
+          .as("base_cents"))
+      val delta = Tables.t(s, dir, "events")
+        .join(broadcast(cust.select($"c_custkey", $"c_nationkey")),
+          $"user_id" === $"c_custkey")
+        .groupBy($"c_nationkey".as("grp"))
+        .agg(expr("sum(CAST(floor(value * 1000000) AS BIGINT))").as("delta_micro"))
+      base.join(delta, Seq("grp"), "full_outer")
+        .select($"grp",
+          coalesce($"base_cents", lit(0L)).as("base_cents"),
+          coalesce($"delta_micro", lit(0L)).as("delta_micro"),
+          (coalesce($"base_cents", lit(0L)) * 10000 +
+            coalesce($"delta_micro", lit(0L))).as("new_micro"))
+        .orderBy("grp")
+    }, Some("""
+      WITH base AS (SELECT c_nationkey AS grp,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT) AS base_cents
+        FROM customer GROUP BY 1),
+      delta AS (SELECT c.c_nationkey AS grp,
+          CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS delta_micro
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey GROUP BY 1)
+      SELECT COALESCE(b.grp, d.grp) AS grp,
+        COALESCE(b.base_cents, 0) AS base_cents,
+        COALESCE(d.delta_micro, 0) AS delta_micro,
+        COALESCE(b.base_cents, 0) * 10000 + COALESCE(d.delta_micro, 0) AS new_micro
+      FROM base b FULL OUTER JOIN delta d ON b.grp = d.grp
+      ORDER BY grp""")),
+
+    // ----- fixed-iteration PageRank (link analysis) ----------------------
+    // Crawl-graph authority for corpus quality weighting: the
+    // part<->supplier bipartite graph from lineitem (node ids disjoint by
+    // parity), 3 synchronous PageRank iterations at damping 0.85. Ranks
+    // live in integer MICRO-units: each edge contributes rank div degree
+    // (integer division, per-row deterministic), so every shuffle sums
+    // integers and the result is exact in any aggregation order — the
+    // q101/q130 quantization rule applied to an iterative algorithm.
+    // Edges+degrees are localCheckpointed once (the q47 pattern): each
+    // iteration is one co-partitioned equi-join + one two-phase
+    // aggregate on the node id, the textbook distributed-PageRank shape
+    // that scales to billions of edges.
+    ("q153_pagerank", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e0 = Tables.t(s, dir, "lineitem")
+        .select(($"l_partkey" * 2).as("u"), ($"l_suppkey" * 2 + 1).as("v"))
+        .distinct()
+      val e = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+      val deg = e.groupBy($"u").agg(count(lit(1)).as("d"))
+      val ed = e.join(deg, Seq("u")).localCheckpoint()
+      var ranks = deg.select($"u".as("n"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = ed.as("e").join(ranks.as("rk"), col("e.u") === col("rk.n"))
+          .groupBy(col("e.v").as("n"))
+          .agg(expr("CAST(150000 + (85 * sum(rk.r div e.d)) div 100 AS BIGINT)").as("r"))
+      }
+      ranks.select($"n".as("node_id"),
+          when($"n" % 2 === 0, "part").otherwise("supplier").as("kind"),
+          $"r".as("rank_micro"))
+        .orderBy(desc("rank_micro"), $"node_id").limit(32)
+    }, Some("""
+      WITH e0 AS (SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v FROM lineitem),
+      e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u),
+      r0 AS (SELECT u AS n, CAST(1000000 AS BIGINT) AS r FROM deg),
+      r1 AS (SELECT e.v AS n, CAST(150000 + (85 * sum(r0.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM e JOIN deg USING (u) JOIN r0 ON r0.n = e.u GROUP BY e.v),
+      r2 AS (SELECT e.v AS n, CAST(150000 + (85 * sum(r1.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM e JOIN deg USING (u) JOIN r1 ON r1.n = e.u GROUP BY e.v),
+      r3 AS (SELECT e.v AS n, CAST(150000 + (85 * sum(r2.r // deg.d)) // 100 AS BIGINT) AS r
+        FROM e JOIN deg USING (u) JOIN r2 ON r2.n = e.u GROUP BY e.v)
+      SELECT n AS node_id,
+        CASE WHEN n % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        r AS rank_micro
+      FROM r3 ORDER BY rank_micro DESC, node_id LIMIT 32"""))
   )
 }

@@ -514,4 +514,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"token counts not map-side combined:\n$plan")
   }
+
+  test("q150 bloom filter: bitmap and dim both broadcast — fact never shuffles for the joins") {
+    val df = SparkEntry.queries("q150_bloom_runtime_filter")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"bitmap/dim join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side shuffled for a tiny build side:\n$plan")
+  }
+
+  test("q151 co-occurrence: pair generation is an equi-join on the order key") {
+    val df = SparkEntry.queries("q151_cooccurrence_pairs")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-32 must not be a global sort:\n$plan")
+  }
+
+  test("q152 incremental view: delta join broadcasts the dim; base is never joined row-wise") {
+    val df = SparkEntry.queries("q152_incremental_view")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"changelog dim join not broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"base/delta aggregates not two-phase:\n$plan")
+  }
+
+  test("q153 pagerank: iterations reuse the checkpointed edge list, no cartesian") {
+    val df = SparkEntry.queries("q153_pagerank")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rank propagation degenerated:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"edge list not checkpointed (re-derives lineage every iteration):\n$plan")
+  }
 }
