@@ -1505,6 +1505,158 @@ object Round7Queries {
       SELECT n AS node_id,
         CASE WHEN n % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         r AS rank_micro
-      FROM r3 ORDER BY rank_micro DESC, node_id LIMIT 32"""))
+      FROM r3 ORDER BY rank_micro DESC, node_id LIMIT 32""")),
+
+    // ----- JSON-lines roundtrip (schema-on-read + column pruning) --------
+    // Completes the source-format matrix (parquet everywhere, CSV q104,
+    // ORC q143): documents written as JSON lines — the interchange format
+    // most raw training corpora actually arrive in — and read back with
+    // an EXPLICIT schema (no inference pass over 100 TB) selecting 3 of
+    // the 5 written fields. Column pruning must reach the scan: the JSON
+    // parser only materializes the ReadSchema fields (asserted — `text`,
+    // the wide column, is never parsed), which is the difference between
+    // parsing 5% and 100% of every line at scale.
+    ("q154_json_roundtrip", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q154").toString
+      Tables.t(s, dir, "documents")
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(tmp)
+        .filter($"n_chars" >= 120)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"),
+          min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents WHERE n_chars >= 120
+      GROUP BY lang ORDER BY lang""")),
+
+    // ----- count-min sketch (mergeable frequency estimation) -------------
+    // The frequency counterpart to the KMV distinct sketch (q53): a
+    // 4x1024 count-min sketch over the token stream, built as ONE
+    // two-phase hash aggregate on (row, bucket) — the sketch is 4096
+    // integers regardless of corpus size, so the reduce side is
+    // constant and the merged sketch broadcasts for probing. The audit
+    // joins the 16 hottest tokens (exact counts) against the broadcast
+    // sketch and reports estimate minus exact — CMS never undercounts,
+    // so overshoot >= 0 is a structural invariant the oracle pins
+    // per-token. Hashes are md5-derived (row-salted), deterministic
+    // cross-engine.
+    ("q155_countmin_sketch", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      def bkt(r: Int, t: Column): Column =
+        conv(substring(md5(concat(lit(r.toString), lit("|"), t)), 1, 8), 16, 10)
+          .cast("long") % 1024
+      val buckets = (0 until 4).map(r => bkt(r, $"t"))
+      val tok = Tables.spread(Tables.t(s, dir, "documents"))
+        .select(explode(split(TA.normText($"text"), " ")).as("t"))
+        .filter(length($"t") > 0)
+      val sk = tok.select(posexplode(array(buckets: _*)).as(Seq("r", "b")))
+        .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+      val top = tok.groupBy($"t").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), $"t").limit(16)
+      top.select($"t", $"exact_n", posexplode(array(buckets: _*)).as(Seq("r", "b")))
+        .join(broadcast(sk), Seq("r", "b"))
+        .groupBy($"t", $"exact_n").agg(min($"c").as("cms_est"))
+        .select($"t".as("token"), $"exact_n", $"cms_est",
+          ($"cms_est" - $"exact_n").as("overshoot"))
+        .orderBy(desc("exact_n"), $"token")
+    }, Some(s"""
+      WITH d AS (SELECT $normSql AS norm FROM documents),
+      tok AS (SELECT t FROM (SELECT unnest(string_split(norm, ' ')) AS t FROM d)
+        WHERE len(t) > 0),
+      hx AS (SELECT t, r,
+          ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || t), 1, 8))::BIGINT % 1024 AS b
+        FROM tok, (SELECT unnest(range(4)) AS r) _),
+      sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
+      top AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM tok
+        GROUP BY 1 ORDER BY exact_n DESC, t LIMIT 16),
+      pb AS (SELECT top.t, top.exact_n, r,
+          ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || top.t), 1, 8))::BIGINT % 1024 AS b
+        FROM top, (SELECT unnest(range(4)) AS r) _)
+      SELECT pb.t AS token, pb.exact_n, min(sk.c) AS cms_est,
+        min(sk.c) - pb.exact_n AS overshoot
+      FROM pb JOIN sk ON sk.r = pb.r AND sk.b = pb.b
+      GROUP BY 1, 2 ORDER BY exact_n DESC, token""")),
+
+    // ----- inverted index construction (token -> posting list) ----------
+    // The retrieval-side primitive a corpus pipeline feeds: per token,
+    // document frequency, total term frequency, and the head of the
+    // doc-id-sorted posting list (truncated to 5 — posting heads are
+    // what skip-pointer layouts materialize first). One explode + one
+    // aggregate keyed on the token: collect_set is partial-aggregable
+    // (ObjectHashAggregate), so map tasks emit per-token partial
+    // postings and only token-grouped sets cross the shuffle; the
+    // top-32-by-df report is TakeOrderedAndProject, never a global
+    // sort. At 100 TB the same plan writes the full index
+    // bucketBy(token) instead of taking the head.
+    ("q156_inverted_index", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tok = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", explode(split(TA.normText($"text"), " ")).as("t"))
+        .filter(length($"t") > 0)
+      tok.groupBy($"t")
+        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"),
+          array_join(slice(sort_array(collect_set($"doc_id")), 1, 5), ",")
+            .as("postings_head"))
+        .orderBy(desc("df"), $"t").limit(32)
+        .select($"t".as("token"), $"df", $"tf", $"postings_head")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, $normSql AS norm FROM documents),
+      tok AS (SELECT doc_id, t FROM
+        (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d)
+        WHERE len(t) > 0)
+      SELECT t AS token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        CAST(count(*) AS BIGINT) AS tf,
+        array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',') AS postings_head
+      FROM tok GROUP BY 1 ORDER BY df DESC, token LIMIT 32""")),
+
+    // ----- weighted sampling without replacement (A-ES) ------------------
+    // q140's weighted sibling: Efraimidis-Spirakis exponential races —
+    // each doc draws u from its md5 (deterministic, seedless, the
+    // q110/q120 rule) and competes on -ln(u)/weight, so selection
+    // probability is proportional to n_chars. The ln is quantized to
+    // integer micro-lns (q119 rule) and the division is integer
+    // nano-keys ((micro * 1e6) div weight), so the race order is exact
+    // integer comparison in both engines. Per-source top-5 via
+    // row_number compiles to WindowGroupLimit: map tasks forward at
+    // most 5 candidates per source ahead of the shuffle — the full
+    // corpus never sorts.
+    ("q157_weighted_sample", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val h = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val u = (h + 1).cast("double") / lit(4294967296.0)
+      val base = Tables.spread(Tables.t(s, dir, "documents"))
+        .filter($"n_chars" > 0)
+        .select($"source", $"doc_id", $"n_chars",
+          floor(-log(u) * 1e6 + 0.5).cast("long").as("micro"))
+        .withColumn("key_nano", expr("(micro * 1000000) div n_chars"))
+      val w = Window.partitionBy($"source").orderBy($"key_nano", $"doc_id")
+      base.select($"source", $"doc_id", $"n_chars", $"key_nano",
+          row_number().over(w).as("pick"))
+        .filter($"pick" <= 5)
+        .orderBy("source", "pick")
+    }, Some("""
+      WITH b AS (SELECT source, doc_id, n_chars,
+          CAST(floor(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) * 1000000 + 0.5) AS BIGINT) AS micro
+        FROM documents WHERE n_chars > 0),
+      k AS (SELECT source, doc_id, n_chars,
+          (micro * 1000000) // n_chars AS key_nano FROM b),
+      r AS (SELECT source, doc_id, n_chars, key_nano,
+          row_number() OVER (PARTITION BY source ORDER BY key_nano, doc_id) AS pick
+        FROM k)
+      SELECT source, doc_id, n_chars, key_nano, pick FROM r
+      WHERE pick <= 5 ORDER BY source, pick"""))
   )
 }

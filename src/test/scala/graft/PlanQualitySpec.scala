@@ -544,6 +544,41 @@ class PlanQualitySpec extends AnyFunSuite {
       s"base/delta aggregates not two-phase:\n$plan")
   }
 
+  test("q154 json roundtrip: column pruning reaches the scan — text is never parsed") {
+    val df = SparkEntry.queries("q154_json_roundtrip")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("FileScan json"), s"not a json scan:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("text"),
+      s"wide column not pruned from the json parser: $readSchema")
+  }
+
+  test("q155 count-min: sketch probe is a broadcast join, sketch built two-phase") {
+    val df = SparkEntry.queries("q155_countmin_sketch")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), s"sketch probe not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe join degenerated:\n$plan")
+  }
+
+  test("q156 inverted index: top-32 by df is TakeOrderedAndProject, no cartesian") {
+    val df = SparkEntry.queries("q156_inverted_index")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for a top-32:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
+  }
+
+  test("q157 weighted sample: per-source top-5 gets WindowGroupLimit map-side") {
+    val df = SparkEntry.queries("q157_weighted_sample")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the window shuffle:\n$plan")
+  }
+
   test("q153 pagerank: iterations reuse the checkpointed edge list, no cartesian") {
     val df = SparkEntry.queries("q153_pagerank")(spark, TestSpark.Sf)
     df.collect()
