@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -126,6 +127,41 @@ object Dedup {
     * bit-identical on any engine; the shapes are the proven ones — band
     * equi-join candidates, narrow (id, id) pair rows, signatures and
     * hash sets joined back by id from the one localCheckpoint'd scan. */
+  /** Asymmetric containment |A∩B|/|A| over LSH candidate pairs — catches
+    * subset duplication (a doc quoted wholesale inside a larger one)
+    * that symmetric Jaccard misses: a 200-token doc embedded in a
+    * 10k-token doc has Jaccard ≈ 0.02 but containment ≈ 1.0. Candidate
+    * generation is the same banded-minhash equi-join as
+    * minhashLshPairsHashed; the verify emits both directions and the
+    * keep filter is an integer inequality (10·|A∩B| ≥ t·min(|A|,|B|))
+    * so thresholding never compares floats across engines. */
+  def minhashLshContainment(hashedDocs: DataFrame, nBands: Int,
+                            minContainTenths: Int): DataFrame = {
+    val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
+    val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
+    val bands = (0 until nBands).map(b =>
+      struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))
+    val banded = hs.select(col("id"), explode(array(bands: _*)).as("band"))
+      .select(col("id"), col("band.band_idx"), col("band.band_key"))
+    val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+      .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("h_a")).cast("long").as("n_a"),
+        size(col("h_b")).cast("long").as("n_b"),
+        size(array_intersect(col("h_a"), col("h_b"))).cast("long").as("inter_n"))
+      .filter(col("inter_n") * 10 >= least(col("n_a"), col("n_b")) * minContainTenths)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("inter_n"),
+        (col("inter_n").cast("double") / col("n_a")).as("cont_a"),
+        (col("inter_n").cast("double") / col("n_b")).as("cont_b"))
+  }
+
   def minhashCalibration(hashedDocs: DataFrame, nBands: Int): DataFrame = {
     val k = nBands * 2
     val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
@@ -234,6 +270,63 @@ object Dedup {
     }
     edges.unpersist()
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14) — the O(log n)-round alternative to min-label
+    * propagation (`connectedComponents` above, whose round count is the
+    * component DIAMETER): each round is two windowed min-aggregates
+    * keyed on the node id with no join against a label table, and the
+    * edge list strictly contracts toward the component-minimum star.
+    * Right for graphs whose components are long chains (transitive
+    * near-dup chains produce exactly those); same fixpoint — every node
+    * labeled with its component's minimum id — as the other two forms.
+    *
+    * Edges stay canonically down-pointing (u > v) through both steps;
+    * each round localCheckpoints so lineage stays flat across the loop,
+    * and convergence is an order-independent (count, hash-sum) edge-set
+    * checksum. */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    def checksum(e: DataFrame): (Long, Long) = {
+      // hash folded mod p before the sum: full-range xxhash64 values
+      // would overflow the ANSI-mode long sum on any non-trivial set
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")) % 1000000007L)).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var state = checksum(edges)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
+      val bidir = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = bidir
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: u and each smaller neighbor link to min(N⁻(u) ∪ {u})
+      val ss = ls.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+      val next = ss.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ss.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val nextState = checksum(next)
+      done = nextState == state
+      state = nextState
+      edges = next
+      it += 1
+    }
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
   }
 
   /** Connected components of a (sparse) pair list via union-find in a

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
 import graft.functions.UnicodeNormFns
 
 /** Round-7 additions beyond the reference surface — corpus-QA operators
@@ -18,6 +18,23 @@ object Round7Queries {
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
 
   type QFn = (SparkSession, String) => DataFrame
+
+  /** DuckDB rendering of Similarity.prepare over the embeddings table
+    * (same quantize-to-integer template as ExtQueries.prepSql — integer
+    * dot products are exact in both engines, the one double division is
+    * the q80 rule). */
+  private val annPrepSql =
+    """p AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS qvec FROM embeddings),
+      n AS (SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS n2 FROM p)"""
+
+  private val AnnProjs = Similarity.projectionVectors(4, 64)
+
+  /** DuckDB rendering of Similarity.lshBucket over AnnProjs. */
+  private def annBucketSql: String =
+    AnnProjs.zipWithIndex.map { case (p, j) =>
+      val lst = p.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(qvec, $lst) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** DuckDB CTE chain for the MinHash pipeline ending in
     * `cand(id_a, id_b)` candidate pairs plus the signature table
@@ -1657,6 +1674,275 @@ object Round7Queries {
           row_number() OVER (PARTITION BY source ORDER BY key_nano, doc_id) AS pick
         FROM k)
       SELECT source, doc_id, n_chars, key_nano, pick FROM r
-      WHERE pick <= 5 ORDER BY source, pick"""))
+      WHERE pick <= 5 ORDER BY source, pick""")),
+
+    // ----- kNN-graph construction (mutual-kNN edges) ---------------------
+    // The backbone of density-based dedup clustering and diversity
+    // mining: EVERY node gets its k=3 nearest neighbors (not just a
+    // query subset, which is q25's shape), plus the mutuality flag —
+    // mutual-kNN edges are the high-precision subset graph-cluster
+    // pipelines keep. Candidate generation is the LSH-bucket self-join
+    // (equi-join on the 4-bit signature; bucket population grows with
+    // data but stays a bounded fraction of N, never all-pairs), top-3
+    // is a windowed rank per node, and mutuality is a self-equi-join of
+    // the kNN edge list on the reversed key — every shuffle is keyed.
+    ("q158_knn_graph", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(
+        Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      val b = prepared.withColumn("bucket", Similarity.lshBucket(col("qvec"), AnnProjs))
+      val q = b.select($"bucket", $"id".as("q_id"), $"qvec".as("q_vec"), $"n2".as("q_n2"))
+      val c = b.select($"bucket", $"id".as("c_id"), $"qvec".as("c_vec"), $"n2".as("c_n2"))
+      val scored = q.join(c, "bucket").filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id",
+          Similarity.cosine(Similarity.dot($"q_vec", $"c_vec"), $"q_n2", $"c_n2")
+            .as("cos_sim"))
+      val w = Window.partitionBy($"q_id").orderBy(desc("cos_sim"), $"c_id")
+      val knn = scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      val rev = knn.select($"c_id".as("q_id"), $"q_id".as("c_id"), lit(1).as("m"))
+      knn.join(rev, Seq("q_id", "c_id"), "left")
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim",
+          coalesce($"m", lit(0)).cast("long").as("mutual"))
+        .orderBy("q_id", "rnk")
+    }, Some(s"""
+      WITH $annPrepSql,
+      b AS (SELECT vec_id, qvec, n2, $annBucketSql AS bucket FROM n),
+      scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        list_dot_product(q.qvec, c.qvec) / sqrt(q.n2 * c.n2) AS cos_sim
+        FROM b q JOIN b c USING (bucket) WHERE q.vec_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        FROM scored),
+      knn AS (SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3)
+      SELECT k.q_id, k.rnk, k.c_id, k.cos_sim,
+        CAST(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
+      FROM knn k LEFT JOIN knn m ON m.q_id = k.c_id AND m.c_id = k.q_id
+      ORDER BY k.q_id, k.rnk""")),
+
+    // ----- Z-order layout clustering (multi-dim zone-map win) -----------
+    // The OPTIMIZE ZORDER primitive: interleave the bits of two
+    // quantized dimensions (customer, order day) into a Z-value, lay
+    // rows out into 64 equal "files" along that curve, and measure the
+    // zone-map skip rate for a 2-D box predicate against the same
+    // predicate on a date-sorted layout. Z-order keeps BOTH per-file
+    // min/max ranges narrow, so a 1/16-of-the-grid box touches a
+    // fraction of the files where the 1-D sort scans nearly all of
+    // them — this delta is the entire justification for the layout.
+    // All arithmetic is integer (bit interleave, div-binning with
+    // in-DAG bounds per the q86 rule); ntile stands in for the
+    // repartitionByRange(z) a 100 TB write would use — the stats and
+    // skip logic are identical under either partitioner.
+    ("q159_zorder_layout", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val sparkZ = (0 until 8).map(i =>
+        s"shiftleft(shiftright(x_bin, $i) & 1, ${2 * i}) + shiftleft(shiftright(y_bin, $i) & 1, ${2 * i + 1})")
+        .mkString(" + ")
+      val o = Tables.t(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+        datediff($"o_orderdate", lit("1992-01-01")).as("d"))
+      val bounds = o.agg(min($"o_custkey").as("xmin"), max($"o_custkey").as("xmax"),
+        min($"d").as("ymin"), max($"d").as("ymax"))
+      val files = o.crossJoin(broadcast(bounds)).select($"o_orderkey",
+          expr("((o_custkey - xmin) * 256) div (xmax - xmin + 1)").as("x_bin"),
+          expr("((d - ymin) * 256) div (ymax - ymin + 1)").as("y_bin"))
+        .withColumn("z", expr(sparkZ))
+      val zf = files.withColumn("file_id",
+          ntile(64).over(Window.orderBy($"z", $"o_orderkey")))
+        .withColumn("layout", lit("zorder"))
+      val ds = files.withColumn("file_id",
+          ntile(64).over(Window.orderBy($"y_bin", $"o_orderkey")))
+        .withColumn("layout", lit("datesort"))
+      val stats = zf.unionByName(ds).groupBy($"layout", $"file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"x_bin").as("x_lo"), max($"x_bin").as("x_hi"),
+          min($"y_bin").as("y_lo"), max($"y_bin").as("y_hi"))
+      val miss = $"x_hi" < 96 || $"x_lo" > 159 || $"y_hi" < 96 || $"y_lo" > 159
+      stats.groupBy($"layout").agg(
+          count(lit(1)).as("n_files"),
+          sum(when(miss, 0L).otherwise(1L)).as("files_scanned"),
+          sum(when(miss, 0L).otherwise($"n_rows")).as("rows_scanned"))
+        .orderBy("layout")
+    }, Some {
+      val duckZ = (0 until 8).map(i =>
+        s"(((x_bin >> $i) & 1) << ${2 * i}) + (((y_bin >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+        datediff('day', DATE '1992-01-01', o_orderdate) AS d FROM orders),
+      bo AS (SELECT min(o_custkey) AS xmin, max(o_custkey) AS xmax,
+        min(d) AS ymin, max(d) AS ymax FROM o),
+      binned AS (SELECT o_orderkey,
+        ((o_custkey - xmin) * 256) // (xmax - xmin + 1) AS x_bin,
+        ((d - ymin) * 256) // (ymax - ymin + 1) AS y_bin FROM o, bo),
+      f AS (SELECT o_orderkey, x_bin, y_bin, $duckZ AS z FROM binned),
+      u AS (
+        SELECT 'zorder' AS layout,
+          ntile(64) OVER (ORDER BY z, o_orderkey) AS file_id, x_bin, y_bin
+        FROM f
+        UNION ALL
+        SELECT 'datesort' AS layout,
+          ntile(64) OVER (ORDER BY y_bin, o_orderkey) AS file_id, x_bin, y_bin
+        FROM f),
+      st AS (SELECT layout, file_id, count(*) AS n_rows,
+        min(x_bin) AS x_lo, max(x_bin) AS x_hi,
+        min(y_bin) AS y_lo, max(y_bin) AS y_hi
+        FROM u GROUP BY 1, 2)
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        CAST(sum(CASE WHEN x_hi < 96 OR x_lo > 159 OR y_hi < 96 OR y_lo > 159
+          THEN 0 ELSE 1 END) AS BIGINT) AS files_scanned,
+        CAST(sum(CASE WHEN x_hi < 96 OR x_lo > 159 OR y_hi < 96 OR y_lo > 159
+          THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned
+      FROM st GROUP BY layout ORDER BY layout"""
+    }),
+
+    // ----- triangle counting (degree-ordered wedge join) -----------------
+    // Graph-shape profiling for the co-occurrence graph (q151's edges):
+    // triangle and wedge counts give the global clustering coefficient,
+    // the standard density diagnostic for item graphs. The Spark side
+    // runs the MapReduce-canonical degree-ordered algorithm: each edge
+    // is oriented from its lower-(degree, id) endpoint to the higher, so
+    // per-node out-degree is O(√m) and the wedge self-join (the only
+    // quadratic step) is bounded by Σ d_out² — never the Σ deg² a naive
+    // orientation pays on hub nodes. The closing-edge check is an
+    // equi-join of the wedge list against the oriented edges. Triangle
+    // and wedge counts are orientation-invariant, so the oracle uses the
+    // simple a<b<c form; all outputs are exact integers.
+    ("q160_triangle_count", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val items = Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val e = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
+        .filter($"a" < $"b").select($"a", $"b").distinct()
+        .localCheckpoint() // 3 consumers (deg, orientation, count) — one materialization
+      val deg = e.select($"a".as("v")).unionByName(e.select($"b".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      // orientation key (deg, id) packed into one long: partkey < 10^7
+      // at every test SF; the 100 TB form orders by struct(deg, id)
+      val keyed = e
+        .join(deg.select($"v".as("a"), ($"deg" * 10000000L + $"a").as("ka")), "a")
+        .join(deg.select($"v".as("b"), ($"deg" * 10000000L + $"b").as("kb")), "b")
+      val ed = keyed.select(
+          when($"ka" < $"kb", $"a").otherwise($"b").as("src"),
+          when($"ka" < $"kb", $"b").otherwise($"a").as("dst"),
+          when($"ka" < $"kb", $"kb").otherwise($"ka").as("dkey"))
+        .localCheckpoint() // consumed by the wedge join twice + closing probe
+      val wedges = ed.select($"src", $"dst".as("v"), $"dkey".as("k1"))
+        .join(ed.select($"src", $"dst".as("w"), $"dkey".as("k2")), Seq("src"))
+        .filter($"k1" < $"k2").select($"v", $"w")
+      val closed = wedges.join(ed.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          expr("CAST(sum((deg * (deg - 1)) div 2) AS BIGINT)").as("n_wedges"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+        .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles")
+    }, Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+      tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT n_triangles FROM tri) AS n_triangles""")),
+
+    // ----- connected components: large-star/small-star -------------------
+    // q54's component summary computed by the O(log n)-round star
+    // contraction instead of min-label propagation — the form that
+    // survives long transitive near-dup CHAINS, where label propagation
+    // needs diameter rounds. Same pair generation and the q54 oracle
+    // verbatim: two algorithms, one fixpoint — that equality is the test.
+    ("q161_cc_star", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
+        $"doc_id".as("id"),
+        concat($"lang", lit("_"), expr("n_chars div 100")).as("bucket"),
+        TA.charNgramInts($"text", 3).as("grams"))
+      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.55, broadcastGrams = true)
+      Dedup.connectedComponentsStar(pairs)
+        .groupBy($"label".as("component"))
+        .agg(count(lit(1)).as("n_members"), max($"id").as("max_id"))
+        .orderBy("component")
+    }, Some("""
+      WITH RECURSIVE d AS (SELECT doc_id, lang || '_' || (n_chars // 100) AS bucket,
+        list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+          i -> (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 1114112 + ascii(substr(text, i + 1, 1))) * 1114112 + ascii(substr(text, i + 2, 1)))) AS grams
+        FROM documents),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b USING (bucket)
+        WHERE a.doc_id < b.doc_id
+          AND len(list_intersect(a.grams, b.grams)) / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.55),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      cc(id, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, cc.label FROM edges e JOIN cc ON cc.id = e.dst),
+      comp AS (SELECT id, min(label) AS component FROM cc GROUP BY id)
+      SELECT component, count(*) AS n_members, max(id) AS max_id
+      FROM comp GROUP BY component ORDER BY component""")),
+
+    // ----- containment (asymmetric near-dup) ------------------------------
+    // Subset duplication detection: a short doc quoted wholesale inside
+    // a long one has Jaccard ≈ |A|/|B| (invisible to q21's threshold)
+    // but containment |A∩B|/|A| ≈ 1. Candidates come from the same
+    // banded-minhash equi-join as q21; the keep filter is the integer
+    // inequality 10·|A∩B| ≥ 7·min(|A|,|B|), so no float crosses the
+    // gate — the emitted ratios are single divisions of exact integers.
+    ("q162_containment", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id".as("id"),
+          graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
+      Dedup.minhashLshContainment(docs, nBands = 4, minContainTenths = 7)
+        .orderBy("id_a", "id_b")
+    }, Some(s"""
+      $minhashCandCte,
+      j AS (SELECT c.id_a, c.id_b,
+          CAST(len(a.hs) AS BIGINT) AS n_a, CAST(len(b.hs) AS BIGINT) AS n_b,
+          CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter_n
+        FROM cand c JOIN hst a ON a.doc_id = c.id_a JOIN hst b ON b.doc_id = c.id_b)
+      SELECT id_a, id_b, n_a, n_b, inter_n,
+        inter_n / n_a AS cont_a, inter_n / n_b AS cont_b
+      FROM j WHERE inter_n * 10 >= least(n_a, n_b) * 7
+      ORDER BY id_a, id_b""")),
+
+    // ----- small-file compaction planner (bin packing) -------------------
+    // The OPTIMIZE/compaction primitive every table format needs: given
+    // per-file sizes (here: synthetic "files" of 20 docs each, sized by
+    // their text bytes), pack append-ordered files into ~64 KB target
+    // bins per source partition via a running-sum split — the planner
+    // shape Delta/Iceberg compaction actually uses (bins may overflow by
+    // at most one file, which real planners accept). The plan is
+    // metadata-scale: one aggregate over the manifest + one window per
+    // partition key; the rewrite it drives is embarrassingly parallel
+    // per bin. All integer arithmetic.
+    ("q163_compaction_plan", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val files = Tables.spread(Tables.t(s, dir, "documents"))
+        .groupBy($"source", expr("doc_id div 20").as("file_no"))
+        .agg(sum($"n_chars").as("bytes"), count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"source").orderBy($"file_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum($"bytes").over(w), lit(0L)))
+        .withColumn("bin_id", expr("cum_before div 65536"))
+        .groupBy($"source", $"bin_id")
+        .agg(count(lit(1)).as("n_files"), sum($"n_docs").as("n_docs"),
+          sum($"bytes").as("bin_bytes"))
+        .orderBy("source", "bin_id")
+    }, Some("""
+      WITH f AS (SELECT source, doc_id // 20 AS file_no,
+          CAST(sum(n_chars) AS BIGINT) AS bytes, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2),
+      c AS (SELECT source, file_no, bytes, n_docs,
+          COALESCE(CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_no
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        FROM f)
+      SELECT source, cum_before // 65536 AS bin_id,
+        CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        CAST(sum(bytes) AS BIGINT) AS bin_bytes
+      FROM c GROUP BY 1, 2 ORDER BY source, bin_id"""))
   )
 }

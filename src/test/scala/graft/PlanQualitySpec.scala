@@ -579,6 +579,64 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rank filter not pushed below the window shuffle:\n$plan")
   }
 
+  test("q158 knn graph: candidate generation is the bucket equi-join, never all-pairs") {
+    val df = SparkEntry.queries("q158_knn_graph")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket self-join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("Window"), s"top-k rank window missing:\n$plan")
+  }
+
+  test("q159 zorder: bounds are one in-DAG scalar broadcast; stats are two-phase") {
+    val df = SparkEntry.queries("q159_zorder_layout")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"dim bounds not broadcast into the DAG (q86 rule):\n$plan")
+    assert(plan.contains("Window"), s"layout assignment window missing:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"per-file stats not hash-aggregated:\n$plan")
+  }
+
+  test("q160 triangles: wedge join is an equi-join over the checkpointed oriented edges") {
+    val df = SparkEntry.queries("q160_triangle_count")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"wedge join missing/degenerate:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"oriented edge list not checkpointed (wedge join re-derives it):\n$plan")
+  }
+
+  test("q161 star contraction: components read the checkpointed star edges, no cartesian") {
+    val df = SparkEntry.queries("q161_cc_star")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"component summary degenerated:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"star edge fixpoint not checkpointed:\n$plan")
+  }
+
+  test("q162 containment: candidates come from the band equi-join, never all-pairs") {
+    val df = SparkEntry.queries("q162_containment")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment candidate join degenerated to all-pairs:\n$plan")
+  }
+
+  test("q163 compaction plan: manifest window + two-phase bin stats, no joins") {
+    val df = SparkEntry.queries("q163_compaction_plan")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Window"), s"running-sum window missing:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in a metadata-only plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"bin stats not two-phase:\n$plan")
+  }
+
   test("q153 pagerank: iterations reuse the checkpointed edge list, no cartesian") {
     val df = SparkEntry.queries("q153_pagerank")(spark, TestSpark.Sf)
     df.collect()
