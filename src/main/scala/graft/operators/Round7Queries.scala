@@ -1943,6 +1943,336 @@ object Round7Queries {
       SELECT source, cum_before // 65536 AS bin_id,
         CAST(count(*) AS BIGINT) AS n_files, CAST(sum(n_docs) AS BIGINT) AS n_docs,
         CAST(sum(bytes) AS BIGINT) AS bin_bytes
-      FROM c GROUP BY 1, 2 ORDER BY source, bin_id"""))
+      FROM c GROUP BY 1, 2 ORDER BY source, bin_id""")),
+
+    // ----- HyperLogLog distinct sketch (relational register form) --------
+    // The register-table rendering of HLL (Flajolet et al. 2007): a
+    // 60-bit engine-portable hash (md5 prefix, the q110 rule), 8-bit
+    // bucket index, rho = leading-one position of the remaining 52 bits
+    // via bin()-string length (exact integers in both engines). The
+    // register table is m=256 rows per group — constant reduce-side
+    // state at any corpus size, and max(rho) is partial-aggregable, so
+    // this two-phase plan IS the mergeable-sketch plan. The raw-HLL
+    // harmonic sum stays integer by scaling: S = Σ 2^(53-M_j) over used
+    // buckets + 2^53 per empty bucket (≤ 256·2^53 = 2^61, exact), and
+    // the estimate is ONE double division of exact integers (q80 rule).
+    // Linear-counting correction (the n << m regime this table is in)
+    // uses the micro-ln convention (q119 rule). Exact distinct rides
+    // along as the audit column. KMV (q53) is the k-th-order-statistic
+    // sketch; this is the register one — the pair covers both families.
+    ("q164_hll_sketch", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // alpha_256 * m^2 * 2^53, one literal shared with the SQL text
+      val hllC = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+      val ev = Tables.t(s, dir, "events")
+      val b = ev.select($"event_type",
+          expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .select($"event_type", expr("shiftright(h, 52)").as("bucket"),
+          // bin() emits no leading zeros in either engine, so the
+          // leading-one position of the 52-bit remainder is 53 - length
+          expr("""CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                  ELSE 53 - length(bin(h & 4503599627370495)) END""").as("rho"))
+      val regs = b.groupBy($"event_type", $"bucket").agg(max($"rho").as("m"))
+      val sk = regs.groupBy($"event_type").agg(
+          count(lit(1)).as("n_buckets_used"),
+          sum($"m").as("register_sum"),
+          (sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - m) AS BIGINT)")) +
+            (lit(256L) - count(lit(1))) * lit(9007199254740992L)).as("s_scaled"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_distinct"))
+      sk.join(exact, Seq("event_type"))
+        .select($"event_type", $"n_buckets_used", $"register_sum", $"s_scaled",
+          (lit(hllC) / $"s_scaled").as("est_raw"),
+          when($"n_buckets_used" < 256,
+            (lit(256L) * expr("CAST(floor(ln(256.0 / (256 - n_buckets_used)) * 1000000 + 0.5) AS BIGINT)")))
+            .otherwise(lit(-1L)).as("lc_micro"),
+          $"exact_distinct")
+        .orderBy("event_type")
+    }, Some {
+      val hllC = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+      s"""
+      WITH h AS (SELECT event_type,
+          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events),
+      b AS (SELECT event_type, h >> 52 AS bucket,
+          CASE WHEN (h & 4503599627370495) = 0 THEN 53
+               ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
+        FROM h),
+      r AS (SELECT event_type, bucket, max(rho) AS m FROM b GROUP BY 1, 2),
+      sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets_used,
+          CAST(sum(m) AS BIGINT) AS register_sum,
+          CAST(sum(CAST(1 AS BIGINT) << (53 - m)) AS BIGINT)
+            + (256 - CAST(count(*) AS BIGINT)) * 9007199254740992 AS s_scaled
+        FROM r GROUP BY 1),
+      x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1)
+      SELECT sk.event_type, n_buckets_used, register_sum, s_scaled,
+        $hllC / s_scaled AS est_raw,
+        CASE WHEN n_buckets_used < 256 THEN
+          256 * CAST(floor(ln(256.0 / (256 - n_buckets_used)) * 1000000 + 0.5) AS BIGINT)
+        ELSE -1 END AS lc_micro,
+        exact_distinct
+      FROM sk JOIN x USING (event_type) ORDER BY event_type"""
+    }),
+
+    // ----- join-size forecast from per-key frequency vectors -------------
+    // The planner primitive behind every join-reorder and broadcast
+    // decision: for an equi-join, output cardinality is EXACTLY
+    // Σ_k cnt_a(k)·cnt_b(k) — computable from two per-key count
+    // aggregates and a key-table join, never touching the row-level
+    // join itself. At 100 TB this is the pre-flight that decides
+    // whether a self-join is feasible at all (q148 diagnoses shuffle
+    // skew; this forecasts the OUTPUT, which can explode even with no
+    // skew). Full-outer on the key tables yields matched/unmatched key
+    // counts in the same pass; hot_share_ppm (integer div) shows how
+    // much of the output one key contributes. All exact integers.
+    ("q165_join_size_forecast", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      def freq(df: DataFrame, key: String) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def forecast(name: String, fa: DataFrame, fb: DataFrame): DataFrame =
+        fa.select($"k", $"c".as("ca")).join(
+            fb.select($"k", $"c".as("cb")), Seq("k"), "full_outer")
+          .agg(
+            sum(when($"ca".isNotNull, 1L).otherwise(0L)).as("keys_left"),
+            sum(when($"cb".isNotNull, 1L).otherwise(0L)).as("keys_right"),
+            sum(when($"ca".isNotNull && $"cb".isNotNull, 1L).otherwise(0L)).as("keys_matched"),
+            coalesce(sum($"ca" * $"cb"), lit(0L)).as("est_rows"),
+            coalesce(max($"ca" * $"cb"), lit(0L)).as("hot_key_rows"))
+          .select(lit(name).as("join_name"), $"keys_left", $"keys_right",
+            $"keys_matched", $"est_rows", $"hot_key_rows",
+            expr("CASE WHEN est_rows > 0 THEN (hot_key_rows * 1000000) div est_rows ELSE 0 END")
+              .as("hot_share_ppm"))
+      val li = Tables.t(s, dir, "lineitem")
+      val liPart = freq(li, "l_partkey").localCheckpoint() // reused on both sides of the self-join forecast
+      forecast("lineitem_self_partkey", liPart, liPart)
+        .unionByName(forecast("orders_lineitem_orderkey",
+          freq(Tables.t(s, dir, "orders"), "o_orderkey"), freq(li, "l_orderkey")))
+        .unionByName(forecast("customer_orders_custkey",
+          freq(Tables.t(s, dir, "customer"), "c_custkey"),
+          freq(Tables.t(s, dir, "orders"), "o_custkey")))
+        .orderBy("join_name")
+    }, Some("""
+      WITH lp AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+      lo AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+      oo AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+      oc AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+      cc AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM customer GROUP BY 1),
+      f AS (
+        SELECT 'lineitem_self_partkey' AS join_name, a.c AS ca, b.c AS cb
+          FROM lp a FULL OUTER JOIN lp b USING (k)
+        UNION ALL
+        SELECT 'orders_lineitem_orderkey', a.c, b.c
+          FROM oo a FULL OUTER JOIN lo b USING (k)
+        UNION ALL
+        SELECT 'customer_orders_custkey', a.c, b.c
+          FROM cc a FULL OUTER JOIN oc b USING (k))
+      SELECT join_name,
+        CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS keys_left,
+        CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS keys_right,
+        CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS keys_matched,
+        COALESCE(CAST(sum(ca * cb) AS BIGINT), 0) AS est_rows,
+        COALESCE(CAST(max(ca * cb) AS BIGINT), 0) AS hot_key_rows,
+        CAST(CASE WHEN COALESCE(sum(ca * cb), 0) > 0
+          THEN (max(ca * cb) * 1000000) // sum(ca * cb) ELSE 0 END AS BIGINT) AS hot_share_ppm
+      FROM f GROUP BY join_name ORDER BY join_name""")),
+
+    // ----- k-core decomposition (fixed-round peeling) ---------------------
+    // Graph-QA beyond q160's clustering coefficient: the k-core is the
+    // maximal subgraph where every node keeps degree ≥ k — the standard
+    // "dense kernel vs loose periphery" split for co-occurrence and
+    // near-dup graphs (peripheral nodes are the safe-to-prune ones).
+    // Peeling is iterative; BOTH engines run exactly 8 rounds, so the
+    // per-round survivor counts are equal whether or not the peel has
+    // converged — the fixed-round trick that makes an iterative
+    // algorithm oracle-comparable. k=80 sits below the co-purchase
+    // graph's k-core phase transition (median degree ≈ 115; k≳90
+    // collapses the whole graph, the classic random-graph cliff), so
+    // the trajectory shows a real cascade settling into a stable
+    // nonempty core by round ~5. Spark-side each round is one
+    // two-phase degree aggregate + two semi-joins against the kept-node
+    // set, with the edge list localCheckpointed per round so lineage
+    // stays flat; the oracle unrolls the same 8 rounds as chained CTEs.
+    ("q166_kcore_peel", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val k = 80
+      val items = Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      var edges = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
+        .filter($"a" < $"b").select($"a", $"b").distinct().localCheckpoint()
+      val summaries = (1 to 8).map { round =>
+        val deg = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
+          .groupBy($"v").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter($"deg" >= k).select($"v").localCheckpoint()
+        edges = edges
+          .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
+          .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
+          .select($"a", $"b").localCheckpoint()
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+          .select(lit(round).as("round"), $"n_nodes", $"n_edges")
+      }
+      summaries.reduce(_ unionByName _).orderBy("round")
+    }, Some {
+      val k = 80
+      // MATERIALIZED is load-bearing: each round references the prior
+      // round's CTEs three times, so default inlining would expand e8
+      // into 3^8 copies of the base scan
+      val rounds = (1 to 8).map { r =>
+        s"""n$r AS MATERIALIZED (SELECT v FROM (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+             GROUP BY v HAVING count(*) >= $k),
+           e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+             JOIN n$r x ON e.a = x.v JOIN n$r y ON e.b = y.v)"""
+      }.mkString(",\n")
+      val sel = (1 to 8).map { r =>
+        s"""SELECT $r AS round, (SELECT CAST(count(*) AS BIGINT) FROM n$r) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_edges"""
+      }.mkString("\nUNION ALL\n")
+      s"""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      $rounds
+      $sel
+      ORDER BY round"""
+    }),
+
+    // ----- embedding dimension-truncation recall audit (MRL) --------------
+    // The Matryoshka question: if the index stores only the first 32 of
+    // 64 dimensions (half the memory, half the dot-product cost at
+    // 100 TB), how much of the exact top-5 survives? Both top-5 sets are
+    // brute-force exact over the quantized integer vectors (full = q24's
+    // shape, truncated = the same with slice(qvec, 1, 32)), so the
+    // overlap is a pure integer per query — no ANN noise in the
+    // measurement. The query side broadcasts in both passes; the
+    // per-query overlap join is an equi-join on (q_id, c_id).
+    ("q167_mrl_truncation", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val prepared = Similarity.prepare(
+        Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+        .localCheckpoint() // two brute-force passes + truncation read it
+      val trunc = prepared.select($"id", slice($"qvec", 1, 32).as("qvec"))
+        .withColumn("n2", graft.functions.Lambda.bind1($"qvec")(a => Similarity.norm2(a)))
+      val isQuery = col("id") % 100 === 0
+      val full = Similarity.bruteForceTopK(prepared.filter(isQuery), prepared, k = 5)
+      val half = Similarity.bruteForceTopK(trunc.filter(isQuery), trunc, k = 5)
+        .select($"q_id", $"c_id", lit(1).as("hit"))
+      full.join(half, Seq("q_id", "c_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0))).cast("long").as("n_overlap"),
+          max(when($"rank" === 1, coalesce($"hit", lit(0))).otherwise(0))
+            .cast("long").as("top1_kept"))
+        .orderBy("q_id")
+    }, Some(s"""
+      WITH $annPrepSql,
+      t AS (SELECT vec_id, qvec[1:32] AS tvec,
+          list_dot_product(qvec[1:32], qvec[1:32]) AS tn2 FROM n),
+      qf AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      qt AS (SELECT * FROM t WHERE vec_id % 100 = 0),
+      sf AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          list_dot_product(q.qvec, c.qvec) / sqrt(q.n2 * c.n2) AS cos_sim
+        FROM n c, qf q WHERE q.vec_id <> c.vec_id),
+      st AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          list_dot_product(q.tvec, c.tvec) / sqrt(q.tn2 * c.tn2) AS cos_sim
+        FROM t c, qt q WHERE q.vec_id <> c.vec_id),
+      rf AS (SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        FROM sf),
+      rt AS (SELECT q_id, c_id,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        FROM st),
+      ff AS (SELECT q_id, c_id, rnk FROM rf WHERE rnk <= 5),
+      tt AS (SELECT q_id, c_id FROM rt WHERE rnk <= 5)
+      SELECT ff.q_id,
+        CAST(sum(CASE WHEN tt.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        CAST(max(CASE WHEN ff.rnk = 1 AND tt.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS top1_kept
+      FROM ff LEFT JOIN tt ON tt.q_id = ff.q_id AND tt.c_id = ff.c_id
+      GROUP BY ff.q_id ORDER BY ff.q_id""")),
+
+    // ----- seasonal anomaly monitor (hour-of-day baseline) ----------------
+    // Ingest monitoring for the event feed: per (event_type, hour-of-day)
+    // the median daily count is the seasonal baseline, and a day is
+    // anomalous when its count deviates from that median by more than
+    // the median itself (|c - med| > med). Exactness trick: med2 =
+    // 2·median is an exact integer for integer counts (the even-n
+    // midpoint average doubles back to an integer — both engines'
+    // interpolating percentile agrees bit-for-bit on (a+b)/2 of longs),
+    // so the flag is the integer inequality |2c - med2| > med2 and no
+    // float crosses the gate; max deviation is emitted in ppm by
+    // integer division. Output is the bounded per-slot monitor table
+    // (types × 24 rows), never per-event — at 100 TB the hourly count
+    // aggregate is the only full scan and everything after it is
+    // metadata-scale.
+    ("q168_seasonal_anomaly", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = Tables.t(s, dir, "events")
+        .groupBy($"event_type", to_date($"ts").as("day"), hour($"ts").as("hod"))
+        .agg(count(lit(1)).as("c"))
+      val base = c.groupBy($"event_type", $"hod")
+        .agg(expr("CAST(2 * percentile(c, 0.5D) AS BIGINT)").as("med2"))
+      c.join(base, Seq("event_type", "hod"))
+        .groupBy($"event_type", $"hod")
+        .agg(count(lit(1)).as("n_days"), max($"med2").as("med2"),
+          sum(when(abs($"c" * 2 - $"med2") > $"med2", 1L).otherwise(0L)).as("n_anomalous"),
+          max(expr("(abs(c * 2 - med2) * 1000000) div med2")).as("max_dev_ppm"))
+        .orderBy("event_type", "hod")
+    }, Some("""
+      WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(extract(hour FROM ts) AS INTEGER) AS hod, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3),
+      base AS (SELECT event_type, hod, CAST(2 * median(c) AS BIGINT) AS med2
+        FROM c GROUP BY 1, 2)
+      SELECT c.event_type, c.hod, CAST(count(*) AS BIGINT) AS n_days,
+        max(med2) AS med2,
+        CAST(sum(CASE WHEN abs(c * 2 - med2) > med2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+        CAST(max((abs(c * 2 - med2) * 1000000) // med2) AS BIGINT) AS max_dev_ppm
+      FROM c JOIN base USING (event_type, hod)
+      GROUP BY 1, 2 ORDER BY event_type, hod""")),
+
+    // ----- character-entropy quality signal --------------------------------
+    // The compression-proxy quality filter (low character entropy =
+    // boilerplate / repetition / key-mashing; used alongside q17's
+    // ratio signals and q105's repetition rates): per-doc Shannon
+    // entropy over the character distribution, H = ln n − (1/n)·Σ c·ln c,
+    // kept integral by the micro-ln convention (q119 rule) and emitted
+    // UNNORMALIZED as h_scaled = n·⌊ln n·10⁶⌉ − Σ c·⌊ln c·10⁶⌉ plus the
+    // per-char integer division — exact integers end to end. One
+    // explode + one two-phase (doc, char) aggregate + one per-doc
+    // aggregate, all partitioned by doc id; nothing global. (The corpus
+    // is BMP-only, so Spark's code-unit split and DuckDB's codepoint
+    // split segment identically — the q23 precedent.)
+    ("q169_char_entropy", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val lnMicro = (c: Column) =>
+        floor(log(c.cast("double")) * 1000000 + 0.5).cast("long")
+      val cnt = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", explode(split($"text", "")).as("ch"))
+        .filter(length($"ch") > 0)
+        .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      cnt.groupBy($"doc_id")
+        .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct_chars"),
+          sum($"c" * lnMicro($"c")).as("sum_c_lnc"))
+        // clamped at 0: exact entropy is ≥ 0 but the ±0.5µ ln rounding
+        // could dip a degenerate doc below it, and Spark's div truncates
+        // where DuckDB's // floors — non-negative operands sidestep that
+        .select($"doc_id", $"n", $"n_distinct_chars",
+          greatest($"n" * lnMicro($"n") - $"sum_c_lnc", lit(0L)).as("h_scaled"))
+        .withColumn("h_micro_per_char", expr("h_scaled div n"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM ch WHERE length(ch) > 0 GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_distinct_chars,
+          CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c_lnc
+        FROM cnt GROUP BY 1),
+      h AS (SELECT doc_id, n, n_distinct_chars,
+          greatest(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) - sum_c_lnc,
+            0) AS h_scaled
+        FROM agg)
+      SELECT doc_id, n, n_distinct_chars, h_scaled,
+        CAST(h_scaled // n AS BIGINT) AS h_micro_per_char
+      FROM h ORDER BY doc_id"""))
   )
 }

@@ -637,6 +637,67 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bin stats not two-phase:\n$plan")
   }
 
+  test("q164 hll: register table is a two-phase aggregate, audit join stays equi") {
+    val df = SparkEntry.queries("q164_hll_sketch")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"audit join degenerated:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"register/sketch aggregates not two-phase:\n$plan")
+  }
+
+  test("q165 join forecast: never touches a row-level join — only key-count tables meet") {
+    val df = SparkEntry.queries("q165_join_size_forecast")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"forecast degenerated to a row-level product:\n$plan")
+    assert(plan.contains("FullOuter"), s"key full-outer missing:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"per-key frequency aggregates not two-phase:\n$plan")
+  }
+
+  test("q166 k-core: rounds are semi-joins against checkpointed survivors") {
+    val df = SparkEntry.queries("q166_kcore_peel")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"peel round degenerated:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"per-round edge checkpoints missing (lineage not flat):\n$plan")
+  }
+
+  test("q167 mrl audit: both brute-force passes broadcast the query side") {
+    val df = SparkEntry.queries("q167_mrl_truncation")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"prepared embeddings not checkpointed across the two passes:\n$plan")
+  }
+
+  test("q168 seasonal monitor: per-slot aggregates two-phase, baseline join stays equi") {
+    val df = SparkEntry.queries("q168_seasonal_anomaly")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"baseline join degenerated:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"hourly count aggregate not two-phase:\n$plan")
+  }
+
+  test("q169 entropy: one explode, two partial-aggregable rollups, no joins") {
+    val df = SparkEntry.queries("q169_char_entropy")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"unexpected join in a per-doc pipeline:\n$plan")
+    assert(plan.contains("Generate"), s"char explode missing:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"char-count aggregate not two-phase:\n$plan")
+  }
+
   test("q153 pagerank: iterations reuse the checkpointed edge list, no cartesian") {
     val df = SparkEntry.queries("q153_pagerank")(spark, TestSpark.Sf)
     df.collect()
