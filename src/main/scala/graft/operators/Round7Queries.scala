@@ -2100,17 +2100,30 @@ object Round7Queries {
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
       var edges = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
         .filter($"a" < $"b").select($"a", $"b").distinct().localCheckpoint()
+      // peeling is monotone (survivor sets only shrink), so equal
+      // (n_nodes, n_edges) across a round proves the fixpoint — the
+      // remaining rounds are identities and cost nothing. The counts
+      // are loop control over already-checkpointed blocks (the cc_star
+      // checksum pattern), not a corpus scalar entering the DAG.
+      var prevN = -1L
+      var prevM = -1L
+      var converged = false
       val summaries = (1 to 8).map { round =>
-        val deg = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
-          .groupBy($"v").agg(count(lit(1)).as("deg"))
-        val keep = deg.filter($"deg" >= k).select($"v").localCheckpoint()
-        edges = edges
-          .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
-          .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
-          .select($"a", $"b").localCheckpoint()
-        keep.agg(count(lit(1)).as("n_nodes"))
-          .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-          .select(lit(round).as("round"), $"n_nodes", $"n_edges")
+        if (!converged) {
+          val deg = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
+            .groupBy($"v").agg(count(lit(1)).as("deg"))
+          val keep = deg.filter($"deg" >= k).select($"v").localCheckpoint()
+          edges = edges
+            .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
+            .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
+            .select($"a", $"b").localCheckpoint()
+          val n = keep.count()
+          val m = edges.count()
+          converged = n == prevN && m == prevM
+          prevN = n
+          prevM = m
+        }
+        Seq((round, prevN, prevM)).toDF("round", "n_nodes", "n_edges")
       }
       summaries.reduce(_ unionByName _).orderBy("round")
     }, Some {

@@ -127,6 +127,36 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == expected)
   }
 
+  test("star contraction reaches the union-find fixpoint on chains, cliques, and a seeded random graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L), (21L, 22L)).toDF("id_a", "id_b")
+    val expected = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    val star = Dedup.connectedComponentsStar(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(star == expected)
+    // a 64-node chain is the case the algorithm exists for: min-label
+    // propagation needs diameter (63) rounds, star contraction O(log n) —
+    // converging inside 10 iterations here proves the contraction bound
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val starChain = Dedup.connectedComponentsStar(chain, maxIter = 10)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(starChain == (1L to 64L).map(i => (i, 1L)),
+      "chain did not contract to its minimum inside 10 rounds")
+    // seeded random multigraph: same fixpoint as the single-task union-find
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val rdf = edges.toDF("id_a", "id_b")
+    val uf = Dedup.connectedComponentsLocal(rdf)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val st = Dedup.connectedComponentsStar(rdf)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(st == uf, "star contraction and union-find disagree on the random graph")
+  }
+
   test("minhash permutation constants stay exact in signed-64 arithmetic") {
     val maxH = (1L << 32) - 1
     (0 until 64).foreach { s =>
