@@ -20,6 +20,7 @@ object Verify {
     // whose name starts with one of the prefixes (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // SPARK_GRAFT_ONLY="" means unset, not "dump nothing"
     def wanted(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter { case (n, _) => wanted(n) }.foreach { case (name, fn) =>

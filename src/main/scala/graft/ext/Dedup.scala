@@ -100,6 +100,22 @@ object Dedup {
     * Similarity.scala). */
   def minhashLshPairsHashed(hashedDocs: DataFrame, nBands: Int,
                             threshold: Double): DataFrame = {
+    val (hs, cand) = lshCandidates(hashedDocs, nBands)
+    cand
+      .join(hs.select(col("id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("h_a"), col("h_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The banded-minhash candidate generator shared by all three LSH
+    * surfaces (pairs / containment / calibration), so they stay in
+    * lock-step with each other and with the one DuckDB candidate-CTE
+    * template the oracles render. Returns the localCheckpoint'd
+    * (id, hs) projection (read again by every caller's verify
+    * join-back) plus the deduped id_a < id_b candidate pairs from the
+    * band equi-join. */
+  private def lshCandidates(hashedDocs: DataFrame, nBands: Int): (DataFrame, DataFrame) = {
     val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
     val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
     val bands = (0 until nBands).map(b =>
@@ -112,21 +128,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    cand
-      .join(hs.select(col("id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
-      .join(hs.select(col("id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("h_a"), col("h_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    (hs, cand)
   }
 
-  /** Sketch-calibration audit over the SAME candidate pipeline as
-    * minhashLshPairsHashed: for every LSH candidate pair, the Jaccard
-    * the 2·nBands-component signature ESTIMATES (matching components /
-    * components) next to the exact shingle-set Jaccard. The estimate is
-    * an integer count divided once by a power of two, so it is
-    * bit-identical on any engine; the shapes are the proven ones — band
-    * equi-join candidates, narrow (id, id) pair rows, signatures and
-    * hash sets joined back by id from the one localCheckpoint'd scan. */
   /** Asymmetric containment |A∩B|/|A| over LSH candidate pairs — catches
     * subset duplication (a doc quoted wholesale inside a larger one)
     * that symmetric Jaccard misses: a 200-token doc embedded in a
@@ -137,18 +141,7 @@ object Dedup {
     * so thresholding never compares floats across engines. */
   def minhashLshContainment(hashedDocs: DataFrame, nBands: Int,
                             minContainTenths: Int): DataFrame = {
-    val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
-    val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
-    val bands = (0 until nBands).map(b =>
-      struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))
-    val banded = hs.select(col("id"), explode(array(bands: _*)).as("band"))
-      .select(col("id"), col("band.band_idx"), col("band.band_key"))
-    val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-      .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
-        Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val (hs, cand) = lshCandidates(hashedDocs, nBands)
     cand
       .join(hs.select(col("id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
       .join(hs.select(col("id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
@@ -162,21 +155,19 @@ object Dedup {
         (col("inter_n").cast("double") / col("n_b")).as("cont_b"))
   }
 
+  /** Sketch-calibration audit over the SAME candidate pipeline as
+    * minhashLshPairsHashed: for every LSH candidate pair, the Jaccard
+    * the 2·nBands-component signature ESTIMATES (matching components /
+    * components) next to the exact shingle-set Jaccard. The estimate is
+    * an integer count divided once by a power of two, so it is
+    * bit-identical on any engine; the shapes are the proven ones — band
+    * equi-join candidates, narrow (id, id) pair rows, signatures and
+    * hash sets joined back by id from the one localCheckpoint'd scan. */
   def minhashCalibration(hashedDocs: DataFrame, nBands: Int): DataFrame = {
     val k = nBands * 2
-    val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
+    val (hs, cand) = lshCandidates(hashedDocs, nBands)
     val mhs = (0 until k).map(s => minhashInt(col("hs"), s))
     val sig = hs.select(col("id"), array(mhs: _*).as("mh"), col("hs"))
-    val bands = (0 until nBands).map(b =>
-      struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))
-    val banded = hs.select(col("id"), explode(array(bands: _*)).as("band"))
-      .select(col("id"), col("band.band_idx"), col("band.band_key"))
-    val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-      .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
-        Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
     cand
       .join(sig.select(col("id").as("id_a"), col("mh").as("mh_a"), col("hs").as("h_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("mh").as("mh_b"), col("hs").as("h_b")), Seq("id_b"))

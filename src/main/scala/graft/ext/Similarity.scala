@@ -74,6 +74,29 @@ object Similarity {
     }
   }
 
+  /** The projection set the ANN oracle queries share (4 sign bits →
+    * 16 buckets at test scale; a 100 TB deployment raises nProj with
+    * the corpus so per-bucket population stays bounded). */
+  val OracleProjs: Seq[Seq[Int]] = projectionVectors(4, 64)
+
+  /** DuckDB rendering of `prepare` — the single source shared by every
+    * operator file's oracle (the md5DigitSql convention from Dedup), so
+    * the quantization scale can never diverge between the Spark side
+    * and a private SQL copy. */
+  val prepareSql: String =
+    """p AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS qvec FROM embeddings),
+      n AS (SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS n2 FROM p)"""
+
+  /** DuckDB literal for one projection vector. */
+  def projListSql(p: Seq[Int]): String =
+    p.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** DuckDB rendering of `lshBucket(qvec, OracleProjs)`. */
+  def lshBucketSql: String =
+    OracleProjs.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(qvec, ${projListSql(p)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** LSH bucket id: sign bits of the projections onto `projs`. Integer
     * dot products (exact), so bucketing is engine-deterministic. */
   def lshBucket(qvec: Column, projs: Seq[Seq[Int]]): Column =

@@ -69,20 +69,13 @@ object ExtQueries {
         JOIN hst hb ON hb.doc_id = id_b)"""
   }
 
-  private val Projs = Similarity.projectionVectors(4, 64)
+  private val Projs = Similarity.OracleProjs
 
-  /** DuckDB literal for one projection vector. */
-  private def projList(p: Seq[Int]): String =
-    p.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+  private def projList(p: Seq[Int]): String = Similarity.projListSql(p)
 
-  private def bucketSql: String =
-    Projs.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN list_dot_product(qvec, ${projList(p)}) >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+  private def bucketSql: String = Similarity.lshBucketSql
 
-  private val prepSql =
-    """p AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS qvec FROM embeddings),
-      n AS (SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS n2 FROM p)"""
+  private val prepSql = Similarity.prepareSql
 
   val queries: Seq[(String, QFn, Option[String])] = Seq(
 

@@ -19,22 +19,14 @@ object Round7Queries {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  /** DuckDB rendering of Similarity.prepare over the embeddings table
-    * (same quantize-to-integer template as ExtQueries.prepSql — integer
-    * dot products are exact in both engines, the one double division is
-    * the q80 rule). */
-  private val annPrepSql =
-    """p AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 10000)) AS qvec FROM embeddings),
-      n AS (SELECT vec_id, qvec, list_dot_product(qvec, qvec) AS n2 FROM p)"""
+  // the shared oracle renderings of Similarity.prepare / lshBucket —
+  // one source (Similarity.prepareSql / lshBucketSql) so the
+  // quantization and projection set cannot diverge across files
+  private val annPrepSql = Similarity.prepareSql
 
-  private val AnnProjs = Similarity.projectionVectors(4, 64)
+  private val AnnProjs = Similarity.OracleProjs
 
-  /** DuckDB rendering of Similarity.lshBucket over AnnProjs. */
-  private def annBucketSql: String =
-    AnnProjs.zipWithIndex.map { case (p, j) =>
-      val lst = p.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(qvec, $lst) >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+  private def annBucketSql: String = Similarity.lshBucketSql
 
   /** DuckDB CTE chain for the MinHash pipeline ending in
     * `cand(id_a, id_b)` candidate pairs plus the signature table
@@ -1682,8 +1674,10 @@ object Round7Queries {
     // query subset, which is q25's shape), plus the mutuality flag —
     // mutual-kNN edges are the high-precision subset graph-cluster
     // pipelines keep. Candidate generation is the LSH-bucket self-join
-    // (equi-join on the 4-bit signature; bucket population grows with
-    // data but stays a bounded fraction of N, never all-pairs), top-3
+    // — an equi-join on the b-bit signature scoring Θ(N²/2^b) pairs,
+    // i.e. all-pairs cut by the constant 2^b (b=4 here): at scale b
+    // must GROW with the corpus (more projections, or q34's multi-probe
+    // over finer buckets) to hold per-bucket population bounded. Top-3
     // is a windowed rank per node, and mutuality is a self-equi-join of
     // the kNN edge list on the reversed key — every shuffle is keyed.
     ("q158_knn_graph", (s: SparkSession, dir: String) => {
@@ -2102,12 +2096,14 @@ object Round7Queries {
         .filter($"a" < $"b").select($"a", $"b").distinct().localCheckpoint()
       // peeling is monotone (survivor sets only shrink), so equal
       // (n_nodes, n_edges) across a round proves the fixpoint — the
-      // remaining rounds are identities and cost nothing. The counts
-      // are loop control over already-checkpointed blocks (the cc_star
-      // checksum pattern), not a corpus scalar entering the DAG.
+      // remaining rounds are identities and re-emit the last summary
+      // for free. The driver-side counts are loop CONTROL over
+      // already-checkpointed blocks (the cc_star checksum pattern);
+      // the emitted cells stay in-DAG aggregates (the q86 rule).
       var prevN = -1L
       var prevM = -1L
       var converged = false
+      var lastSummary: DataFrame = null
       val summaries = (1 to 8).map { round =>
         if (!converged) {
           val deg = edges.select($"a".as("v")).unionByName(edges.select($"b".as("v")))
@@ -2122,8 +2118,11 @@ object Round7Queries {
           converged = n == prevN && m == prevM
           prevN = n
           prevM = m
+          lastSummary = keep.agg(count(lit(1)).as("n_nodes"))
+            .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+            .localCheckpoint()
         }
-        Seq((round, prevN, prevM)).toDF("round", "n_nodes", "n_edges")
+        lastSummary.select(lit(round).as("round"), $"n_nodes", $"n_edges")
       }
       summaries.reduce(_ unionByName _).orderBy("round")
     }, Some {
