@@ -2285,6 +2285,102 @@ object Round7Queries {
         FROM agg)
       SELECT doc_id, n, n_distinct_chars, h_scaled,
         CAST(h_scaled // n AS BIGINT) AS h_micro_per_char
-      FROM h ORDER BY doc_id"""))
+      FROM h ORDER BY doc_id""")),
+
+    // ----- frequent triple mining (market-basket, order-bounded) ----------
+    // q151's pair mining extended to 3-itemsets. The classic Apriori
+    // worry — candidate explosion — is structurally excluded here the
+    // same way q151 excludes it for pairs: triples are generated by a
+    // per-order 3-way self-equi-join on the order key, so output is
+    // Σ C(items_o, 3) ≈ linear in orders (items-per-order is bounded by
+    // the basket, not the catalog), never C(|parts|, 3). Support filter
+    // + total-ordered top-32 via TakeOrderedAndProject.
+    ("q170_frequent_triples", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val items = Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      items.toDF("ok", "a")
+        .join(items.toDF("ok", "b"), Seq("ok")).filter($"a" < $"b")
+        .join(items.toDF("ok", "c"), Seq("ok")).filter($"b" < $"c")
+        .groupBy($"a", $"b", $"c").agg(count(lit(1)).as("support"))
+        .filter($"support" >= 2)
+        .orderBy(desc("support"), $"a", $"b", $"c")
+        .limit(32)
+    }, Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      t AS (SELECT a.pk AS a, b.pk AS b, c.pk AS c
+        FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+                     JOIN items c ON c.ok = a.ok AND b.pk < c.pk),
+      f AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+        FROM t GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      SELECT a, b, c, support FROM f
+      ORDER BY support DESC, a, b, c LIMIT 32""")),
+
+    // ----- behavioral path mining (event trigrams) ------------------------
+    // Sequence mining over the event feed: per (user, day) the ordered
+    // event-type sequence yields its length-3 paths via two lead()
+    // windows — one shuffle on the session key, no joins, no explode of
+    // anything unbounded (paths per user-day = events − 2). The path
+    // distribution table is the bounded output (≤ |types|³ rows); at
+    // 100 TB the window partitions by the session key exactly as here.
+    // Event order inside a user is total (ts is unique per user in this
+    // feed; the ts, event_id tie-break makes it total regardless).
+    ("q171_path_mining", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"day").orderBy($"ts", $"event_id")
+      Tables.t(s, dir, "events")
+        .select($"user_id", to_date($"ts").as("day"), $"ts", $"event_id", $"event_type")
+        .withColumn("e2", lead($"event_type", 1).over(w))
+        .withColumn("e3", lead($"event_type", 2).over(w))
+        .filter($"e3".isNotNull)
+        .select(concat_ws("->", $"event_type", $"e2", $"e3").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_paths"))
+        .orderBy("path")
+    }, Some("""
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS e2,
+          lead(event_type, 2) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+            ORDER BY ts, event_id) AS e3
+        FROM events)
+      SELECT event_type || '->' || e2 || '->' || e3 AS path,
+        CAST(count(*) AS BIGINT) AS n_paths
+      FROM e WHERE e3 IS NOT NULL
+      GROUP BY 1 ORDER BY path""")),
+
+    // ----- time-decayed popularity (power-of-two decay) -------------------
+    // Recency-weighted counts — the freshness prior every sampling/
+    // ranking pipeline wants — with the decay kept EXACT: weight =
+    // 2^(29 − age_days) for age ≤ 29 (one shiftleft per row, zero
+    // beyond), so the "half-life of one day" sum is pure integer
+    // arithmetic and engine-identical; no exp()/pow() float touches the
+    // gate. The anchor date is an in-DAG broadcast scalar (q86 rule).
+    // Weighted sums fit comfortably: N·2^29 at any per-day volume this
+    // side of 2^33 events/day.
+    ("q172_decayed_popularity", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val ev = Tables.t(s, dir, "events")
+      val anchor = ev.agg(max(to_date($"ts")).as("mx"))
+      ev.crossJoin(broadcast(anchor))
+        .select($"event_type", datediff($"mx", to_date($"ts")).as("age"))
+        .select($"event_type", $"age",
+          when($"age" <= 29, expr("shiftleft(CAST(1 AS BIGINT), 29 - age)"))
+            .otherwise(lit(0L)).as("w"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"age" <= 7, 1L).otherwise(0L)).as("n_last_week"),
+          sum($"w").as("decayed_weight"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+      a AS (SELECT event_type, datediff('day', CAST(ts AS DATE), mx) AS age
+        FROM events, mx),
+      w AS (SELECT event_type, age,
+          CASE WHEN age <= 29 THEN CAST(1 AS BIGINT) << (29 - age) ELSE 0 END AS w
+        FROM a)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CASE WHEN age <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_week,
+        CAST(sum(w) AS BIGINT) AS decayed_weight
+      FROM w GROUP BY 1 ORDER BY event_type"""))
   )
 }

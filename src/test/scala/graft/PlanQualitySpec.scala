@@ -698,6 +698,36 @@ class PlanQualitySpec extends AnyFunSuite {
       s"char-count aggregate not two-phase:\n$plan")
   }
 
+  test("q170 triples: order-key equi-joins, top-32 is TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q170_frequent_triples")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triple expansion degenerated to a product:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-32 not TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q171 path mining: one session-key window, no joins, two-phase path counts") {
+    val df = SparkEntry.queries("q171_path_mining")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"unexpected join in a window-only pipeline:\n$plan")
+    assert(plan.contains("Window"), s"lead() window missing:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"path counts not two-phase:\n$plan")
+  }
+
+  test("q172 decay: anchor is an in-DAG broadcast scalar; weights aggregate two-phase") {
+    val df = SparkEntry.queries("q172_decayed_popularity")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"anchor date not broadcast into the DAG (q86 rule):\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"decayed sums not two-phase:\n$plan")
+  }
+
   test("q153 pagerank: iterations reuse the checkpointed edge list, no cartesian") {
     val df = SparkEntry.queries("q153_pagerank")(spark, TestSpark.Sf)
     df.collect()
