@@ -27,6 +27,11 @@ object TextAnalysis {
   def normText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 
+  /** DuckDB rendering of `normText` over a `text` column — the single
+    * source every oracle shares (the Similarity.prepareSql convention). */
+  val normTextSql: String =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+
   /** MD5 content fingerprint of the normalized text. */
   def fingerprintMd5(text: Column): Column = md5(normText(text))
 

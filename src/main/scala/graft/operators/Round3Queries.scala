@@ -34,8 +34,7 @@ object Round3Queries {
     sum(c).cast(DecimalType(38, scale)).cast("double")
 
   /** DuckDB rendering of TextAnalysis.normText (same as ExtQueries). */
-  private val normSql =
-    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+  private val normSql = graft.ext.TextAnalysis.normTextSql
 
   val queries: Seq[(String, QFn, Option[String])] = Seq(
 

@@ -2382,5 +2382,78 @@ object Round7Queries {
         CAST(sum(CASE WHEN age <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_week,
         CAST(sum(w) AS BIGINT) AS decayed_weight
       FROM w GROUP BY 1 ORDER BY event_type"""))
+  ) ++ Seq(
+
+    // ----- hybrid retrieval: reciprocal rank fusion -----------------------
+    // The modern RAG-retrieval primitive: fuse a keyword ranking and a
+    // vector ranking by RRF score Σ 1/(60 + rank), computed over the
+    // TRUNCATED top-20 of each list — the form real systems fuse (a
+    // full-corpus global rank would be a single-partition sort; top-k
+    // per list is TakeOrderedAndProject, so each side collapses
+    // map-side before any global step). The keyword query is the
+    // corpus's top-3 tokens (in-DAG, deterministic ties), the vector
+    // query is doc 0's embedding (vec_id aligns 1:1 with doc_id);
+    // fusion is a full-outer equi-join of two ≤20-row lists and the
+    // RRF contributions are exact integers: ⌊10⁶/(60+r)⌋.
+    ("q173_hybrid_rrf", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+      val toks = docs
+        .select($"doc_id", explode(split(TA.normText($"text"), " ")).as("tok"))
+        .filter($"tok" =!= "")
+      val qterms = toks.groupBy($"tok").agg(count(lit(1)).as("ct"))
+        .orderBy(desc("ct"), $"tok").limit(3).select($"tok")
+      val kwTop = toks.join(broadcast(qterms), Seq("tok"))
+        .filter($"doc_id" =!= 0)
+        .groupBy($"doc_id").agg(count(lit(1)).as("kw_score"))
+        .orderBy(desc("kw_score"), $"doc_id").limit(20)
+        .withColumn("kw_rank",
+          row_number().over(Window.orderBy(desc("kw_score"), $"doc_id")))
+      val prepared = Similarity.prepare(
+        Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      val qv = prepared.filter($"id" === 0)
+        .select($"qvec".as("q_vec"), $"n2".as("q_n2"))
+      val vecTop = prepared.filter($"id" =!= 0).crossJoin(broadcast(qv))
+        .select($"id".as("doc_id"),
+          Similarity.cosine(Similarity.dot($"qvec", $"q_vec"), $"n2", $"q_n2")
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), $"doc_id").limit(20)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(desc("cos_sim"), $"doc_id")))
+      kwTop.select($"doc_id", $"kw_rank")
+        .join(vecTop.select($"doc_id", $"vec_rank"), Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          coalesce($"kw_rank", lit(0)).cast("long").as("kw_rank"),
+          coalesce($"vec_rank", lit(0)).cast("long").as("vec_rank"),
+          (coalesce(expr("1000000 div (60 + kw_rank)"), lit(0)) +
+            coalesce(expr("1000000 div (60 + vec_rank)"), lit(0)))
+            .cast("long").as("rrf_micro"))
+        .orderBy(desc("rrf_micro"), $"doc_id")
+    }, Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(string_split(${TA.normTextSql}, ' ')) AS tok
+        FROM documents),
+      tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      qt AS (SELECT tok FROM (SELECT tok, count(*) AS ct FROM tk
+        GROUP BY 1 ORDER BY ct DESC, tok LIMIT 3)),
+      kw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kw_score
+        FROM tk JOIN qt USING (tok) WHERE doc_id <> 0 GROUP BY 1),
+      kwt AS (SELECT doc_id, row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+        FROM (SELECT * FROM kw ORDER BY kw_score DESC, doc_id LIMIT 20)),
+      ${Similarity.prepareSql},
+      qv AS (SELECT qvec AS q_vec, n2 AS q_n2 FROM n WHERE vec_id = 0),
+      vt AS (SELECT vec_id AS doc_id,
+          list_dot_product(qvec, q_vec) / sqrt(n2 * q_n2) AS cos_sim
+        FROM n, qv WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 20),
+      vtr AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+        FROM vt),
+      f AS (SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id, k.kw_rank, v.vec_rank
+        FROM kwt k FULL OUTER JOIN vtr v ON v.doc_id = k.doc_id)
+      SELECT doc_id,
+        CAST(COALESCE(kw_rank, 0) AS BIGINT) AS kw_rank,
+        CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+        CAST(COALESCE(1000000 // (60 + kw_rank), 0)
+          + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_micro
+      FROM f ORDER BY rrf_micro DESC, doc_id"""))
   )
 }

@@ -728,6 +728,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"decayed sums not two-phase:\n$plan")
   }
 
+  test("q173 rrf: both retrieval lists truncate via TakeOrderedAndProject before fusion") {
+    val df = SparkEntry.queries("q173_hybrid_rrf")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      s"top-20 truncation not map-side on both lists:\n$plan")
+    assert(plan.contains("FullOuter"), s"fusion full-outer missing:\n$plan")
+  }
+
   test("q153 pagerank: iterations reuse the checkpointed edge list, no cartesian") {
     val df = SparkEntry.queries("q153_pagerank")(spark, TestSpark.Sf)
     df.collect()
