@@ -22,7 +22,9 @@ object Exclusion {
     * everything. */
   def excludePredicate(c: Column, patterns: Seq[String]): Column =
     patterns.foldLeft(lit(true))((acc, p) =>
-      acc && !lower(c).like(toLikePattern(p).toLowerCase))
+      // Locale.ROOT: the default locale would fold 'LOGIN*' to 'logın*'
+      // under tr_TR and silently stop matching
+      acc && !lower(c).like(toLikePattern(p).toLowerCase(java.util.Locale.ROOT)))
 
   def filterExcluded(df: DataFrame, nameCol: String, patterns: Seq[String]): DataFrame =
     df.filter(excludePredicate(col(nameCol), patterns))
@@ -37,8 +39,12 @@ object Exclusion {
       case '_' => sb.append('.')
       case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
     }
+    // UNICODE_CASE so the compiled form folds non-ASCII the same way the
+    // Column.like predicate's lower() does (Ö→ö), keeping the driver-side
+    // work list and Spark-side filtering in agreement
     java.util.regex.Pattern.compile(sb.toString,
-      java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE)
+      java.util.regex.Pattern.DOTALL | java.util.regex.Pattern.CASE_INSENSITIVE |
+        java.util.regex.Pattern.UNICODE_CASE)
   }
 
   /** Driver-side keep-predicate over table names (cmd/root.go:227-246).

@@ -90,18 +90,20 @@ object Pagination {
     *
     * Each predicate is the deferred join turned inside out: an
     * EXISTS-correlated membership test against the page's key slice.
-    * Inner key columns are aliased k0..kn so the unqualified side of the
-    * correlation binds to the OUTER scanned table — the source database
-    * materializes the tiny key slice once per page query and probes it,
-    * the same access path as the reference's LEFT JOIN page SQL
-    * (cmd/root.go:382) without needing to rewrite the FROM clause Spark
-    * owns. */
+    * Inner key columns are aliased with the collision-proof gm2ps_k
+    * prefix (a bare k0..kn would CAPTURE the correlation if a PK column
+    * were itself named k0, turning the page predicate tautological) so
+    * the unqualified side binds to the OUTER scanned table — the source
+    * database materializes the tiny key slice once per page query and
+    * probes it, the same access path as the reference's LEFT JOIN page
+    * SQL (cmd/root.go:382) without needing to rewrite the FROM clause
+    * Spark owns. */
   def deferredJoinPredicates(table: String, pkCols: Seq[String], pageSize: Long,
                              totalRows: Long,
                              dialect: LimitDialect = MySqlLimit): Array[String] = {
     val keyList = pkCols.mkString(",")
-    val aliased = pkCols.zipWithIndex.map { case (c, i) => s"$c AS k$i" }.mkString(",")
-    val corr = pkCols.zipWithIndex.map { case (c, i) => s"temp.k$i = $c" }.mkString(" AND ")
+    val aliased = pkCols.zipWithIndex.map { case (c, i) => s"$c AS gm2ps_k$i" }.mkString(",")
+    val corr = pkCols.zipWithIndex.map { case (c, i) => s"temp.gm2ps_k$i = $c" }.mkString(" AND ")
     (0L until pageCount(totalRows, pageSize)).map { p =>
       s"$SqlTag EXISTS (SELECT 1 FROM (SELECT $aliased FROM $table ORDER BY $keyList " +
         s"${dialect.clause(p * pageSize, pageSize)}) temp WHERE $corr)"

@@ -41,18 +41,20 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n_events"))
 
-  /** Streaming exact-dedup → distinct-user counts. `dropDuplicates` on
-    * (user_id, event_type) keeps one row per key in state; the watermark
-    * bounds that state to the horizon (keys silent longer than it are
-    * evicted — a re-arrival after eviction would re-count, the standard
-    * streaming-dedup contract). The downstream aggregate makes the
-    * result order-independent — whichever arrival survives dedup, the
-    * per-type distinct-user count is the same, so the batch oracle is
-    * exactly `count(DISTINCT user_id)`. */
+  /** Streaming exact-dedup → distinct-user counts.
+    * `dropDuplicatesWithinWatermark` is the form whose state the
+    * watermark actually EVICTS: plain `dropDuplicates(keys)` without the
+    * event-time column among the keys never builds an eviction
+    * predicate, so its state grows one row per key forever. Here a key
+    * silent longer than the horizon is evicted and a later re-arrival
+    * re-counts — the standard streaming-dedup contract, and the price
+    * of bounded state. The downstream aggregate makes the result
+    * order-independent, so within one watermark horizon the batch
+    * oracle is exactly `count(DISTINCT user_id)`. */
   def distinctUsersByType(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
 

@@ -98,6 +98,10 @@ class JdbcReadSpec extends AnyFunSuite {
     assert(preds(1).contains("LIMIT 100,100"))
     val ansi = Pagination.deferredJoinPredicates("t", Seq("a"), 100, 250, Pagination.AnsiLimit)
     assert(ansi(2).contains("OFFSET 200 ROWS FETCH NEXT 100 ROWS ONLY"))
+    // a PK column literally named k0 must not be captured by the inner
+    // alias (a bare `k0 AS k0` correlation would be tautological)
+    val capture = Pagination.deferredJoinPredicates("t", Seq("k0"), 100, 100)
+    assert(capture.head.contains("temp.gm2ps_k0 = k0"))
     assert(Pagination.dialectFor("jdbc:mysql://h/db") == Pagination.MySqlLimit)
     assert(Pagination.dialectFor("jdbc:derby:memory:x") == Pagination.AnsiLimit)
   }
