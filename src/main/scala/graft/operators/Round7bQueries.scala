@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{TextAnalysis => TA}
+import graft.ext.{Dedup, TextAnalysis => TA}
 
 /** Round-7 continuation: fingerprint selection, skew-mitigation,
   * profiling-statistics, and curation-policy operators, each with a
@@ -262,6 +262,179 @@ object Round7bQueries {
           CAST(sum(vec_id) AS BIGINT) AS kept_idsum
         FROM r, k WHERE rn <= kmin GROUP BY label)
       SELECT CAST(c.label AS BIGINT) AS label, c.n_orig, kept.n_kept, kept.kept_idsum
-      FROM c JOIN kept USING (label) ORDER BY label"""))
+      FROM c JOIN kept USING (label) ORDER BY label""")),
+
+    // ----- blocking-strategy recall/cost audit --------------------------
+    // Candidate-generation engineering: three blockers over the same
+    // corpus — 10-token-prefix hash, 64-char length band, and a MinHash
+    // LSH band (the q21 pipeline's band 0, same shared permutation
+    // template) — and the pair-count breakdown by provenance bitmap:
+    // which pairs only ONE blocker finds, which all three agree on. The
+    // per-cell counts are exactly the recall-vs-join-cost tradeoff a
+    // blocking designer tunes (length banding, notably, buys little
+    // unique recall for its quadratic-in-band cost — visible in its
+    // exclusive cell). Every blocker is an equi-join on its key; the
+    // union dedup is one aggregate on the pair id — no cross joins
+    // anywhere, and each doc carries exactly one key per blocker so the
+    // per-blocker join emits each pair once.
+    ("q179_blocking_recall", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val keys = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"n_chars",
+          md5(array_join(slice(split(TA.normText($"text"), " "), 1, 10), " ")).as("k_prefix"),
+          expr("n_chars div 64").as("k_len"),
+          graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
+        .withColumn("k_band",
+          Dedup.bandKey(Seq(Dedup.minhashInt($"hs", 0), Dedup.minhashInt($"hs", 1))))
+        .drop("hs").localCheckpoint() // three self-joins read it; hash once
+      def bPairs(key: String, fp: Long, fl: Long, fb: Long): DataFrame = {
+        val a = keys.select(col(key).as("k"), $"doc_id".as("id_a"))
+        val b = keys.select(col(key).as("k"), $"doc_id".as("id_b"))
+        a.join(b, Seq("k")).filter($"id_a" < $"id_b")
+          .select($"id_a", $"id_b", lit(fp).as("b_prefix"),
+            lit(fl).as("b_length"), lit(fb).as("b_band"))
+      }
+      bPairs("k_prefix", 1, 0, 0)
+        .unionByName(bPairs("k_len", 0, 1, 0))
+        .unionByName(bPairs("k_band", 0, 0, 1))
+        .groupBy($"id_a", $"id_b")
+        .agg(max($"b_prefix").as("b_prefix"), max($"b_length").as("b_length"),
+          max($"b_band").as("b_band"))
+        .groupBy($"b_prefix", $"b_length", $"b_band")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"b_prefix", $"b_length", $"b_band")
+    }, Some(s"""
+      WITH d AS (SELECT doc_id, n_chars, string_split($normSql, ' ') AS arr FROM documents),
+      sh AS (SELECT doc_id, n_chars, arr,
+          list_distinct(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
+            i -> array_to_string(arr[i:i+2], ' '))) AS shl FROM d),
+      hst AS (SELECT doc_id, n_chars, arr,
+          list_distinct(list_transform(shl, g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs
+        FROM sh),
+      mh AS (SELECT doc_id, n_chars, arr,
+          ${Dedup.minhashSql(0)} AS m0, ${Dedup.minhashSql(1)} AS m1 FROM hst),
+      keys AS (SELECT doc_id,
+          md5(array_to_string(list_slice(arr, 1, 10), ' ')) AS k_prefix,
+          n_chars // 64 AS k_len,
+          md5(CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR)) AS k_band
+        FROM mh),
+      p1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS b_prefix, 0 AS b_length, 0 AS b_band
+        FROM keys a JOIN keys b ON a.k_prefix = b.k_prefix AND a.doc_id < b.doc_id),
+      p2 AS (SELECT a.doc_id, b.doc_id, 0, 1, 0
+        FROM keys a JOIN keys b ON a.k_len = b.k_len AND a.doc_id < b.doc_id),
+      p3 AS (SELECT a.doc_id, b.doc_id, 0, 0, 1
+        FROM keys a JOIN keys b ON a.k_band = b.k_band AND a.doc_id < b.doc_id),
+      u AS (SELECT id_a, id_b, max(b_prefix) AS b_prefix, max(b_length) AS b_length,
+          max(b_band) AS b_band
+        FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+        GROUP BY 1, 2)
+      SELECT CAST(b_prefix AS BIGINT) AS b_prefix, CAST(b_length AS BIGINT) AS b_length,
+        CAST(b_band AS BIGINT) AS b_band, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ----- cluster-aware k-fold split (GroupKFold) audit ----------------
+    // The near-dup leakage trap in evaluation splits: hashing DOC ids
+    // into folds scatters duplicate-cluster members across folds — every
+    // scattered pair is train/test contamination. Hashing the CLUSTER key
+    // instead keeps whole clusters in one fold, so its leaky-pair count
+    // is STRUCTURALLY zero. Both schemes are audited from one per-
+    // (cluster, fold) aggregate — leaky pairs = C(n,2) − Σ_fold C(n_f,2),
+    // pure combinatorics, no pair enumeration and no joins — so the
+    // audit costs one aggregate even when the pair count would be
+    // quadratic. The fold_min/max columns show the price of grouping:
+    // slightly less balanced folds, bounded by the largest cluster.
+    ("q180_grouped_kfold", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val K = 5
+      val d = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id",
+          md5(array_join(slice(split(TA.normText($"text"), " "), 1, 10), " ")).as("ck"))
+        .withColumn("fold_doc",
+          conv(substring(md5(concat(lit("fd|"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+            .cast("long") % K)
+        .withColumn("fold_grp",
+          conv(substring(md5(concat(lit("fg|"), $"ck")), 1, 8), 16, 10)
+            .cast("long") % K)
+      def scheme(foldCol: String, name: String): DataFrame = {
+        val perCkFold = d.groupBy($"ck", col(foldCol).as("fold"))
+          .agg(count(lit(1)).as("nf"))
+        val perCk = perCkFold.groupBy($"ck")
+          .agg(sum($"nf").as("n"), sum(expr("nf * (nf - 1) div 2")).as("same_pairs"))
+        val pairAgg = perCk.agg(
+          sum(expr("n * (n - 1) div 2")).as("dup_pairs"),
+          sum(expr("n * (n - 1) div 2 - same_pairs")).as("leaky_pairs"))
+        val foldAgg = d.groupBy(col(foldCol)).agg(count(lit(1)).as("nd"))
+          .agg(min($"nd").as("fold_min_docs"), max($"nd").as("fold_max_docs"))
+        pairAgg.crossJoin(foldAgg)
+          .select(lit(name).as("scheme"), $"dup_pairs", $"leaky_pairs",
+            $"fold_min_docs", $"fold_max_docs")
+      }
+      scheme("fold_doc", "doc_hash").unionByName(scheme("fold_grp", "group_hash"))
+        .orderBy("scheme")
+    }, Some {
+      def schemeSql(fold: String, name: String): String = s"""
+      ${name}_cf AS (SELECT ck, $fold AS fold, count(*) AS nf FROM f GROUP BY 1, 2),
+      ${name}_ck AS (SELECT ck, sum(nf) AS n, sum(nf * (nf - 1) // 2) AS same_pairs
+        FROM ${name}_cf GROUP BY 1),
+      ${name}_p AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS dup_pairs,
+          CAST(sum(n * (n - 1) // 2 - same_pairs) AS BIGINT) AS leaky_pairs
+        FROM ${name}_ck),
+      ${name}_f AS (SELECT CAST(min(nd) AS BIGINT) AS fold_min_docs,
+          CAST(max(nd) AS BIGINT) AS fold_max_docs
+        FROM (SELECT $fold, count(*) AS nd FROM f GROUP BY 1)),
+      ${name}_row AS (SELECT '$name' AS scheme, dup_pairs, leaky_pairs,
+          fold_min_docs, fold_max_docs FROM ${name}_p, ${name}_f)"""
+      s"""
+      WITH d AS (SELECT doc_id,
+          md5(array_to_string(list_slice(string_split($normSql, ' '), 1, 10), ' ')) AS ck
+        FROM documents),
+      f AS (SELECT doc_id, ck,
+          ('0x' || substr(md5('fd|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold_doc,
+          ('0x' || substr(md5('fg|' || ck), 1, 8))::BIGINT % 5 AS fold_grp
+        FROM d),
+      ${schemeSql("fold_doc", "doc_hash")},
+      ${schemeSql("fold_grp", "group_hash")}
+      SELECT * FROM doc_hash_row UNION ALL SELECT * FROM group_hash_row
+      ORDER BY scheme"""
+    }),
+
+    // ----- dedup-deflated token budget ----------------------------------
+    // What a source REALLY contributes to a training mix: raw token
+    // counts overstate sources full of duplicates, so weight every doc's
+    // tokens by 1/cluster_size (uniform survivor probability) and report
+    // the deflated budget next to the raw one. Micro-integer division
+    // keeps both engines bit-identical. One aggregate for cluster sizes,
+    // one equi-join back, one per-source rollup — the mixing-weight
+    // planner (q107) would consume eff_tokens_micro instead of raw
+    // counts, closing the dedup → mixing loop.
+    ("q181_effective_tokens", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val nt = TA.normText($"text")
+      val t = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id", $"source",
+          md5(array_join(slice(split(nt, " "), 1, 10), " ")).as("ck"),
+          when(nt === "", 0L).otherwise(size(split(nt, " "))).cast("long").as("tokens"))
+      val cs = t.groupBy($"ck").agg(count(lit(1)).as("csize"))
+      t.join(cs, Seq("ck"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("raw_tokens"),
+          sum(expr("(1000000 * tokens) div csize")).as("eff_tokens_micro"))
+        .select($"source", $"n_docs", $"raw_tokens", $"eff_tokens_micro",
+          expr("eff_tokens_micro div raw_tokens").as("deflation_micro"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, source,
+          md5(array_to_string(list_slice(string_split($normSql, ' '), 1, 10), ' ')) AS ck,
+          CAST(CASE WHEN $normSql = '' THEN 0
+            ELSE len(string_split($normSql, ' ')) END AS BIGINT) AS tokens
+        FROM documents),
+      cs AS (SELECT ck, CAST(count(*) AS BIGINT) AS csize FROM t GROUP BY 1),
+      a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(tokens) AS BIGINT) AS raw_tokens,
+          CAST(sum((1000000 * tokens) // csize) AS BIGINT) AS eff_tokens_micro
+        FROM t JOIN cs USING (ck) GROUP BY 1)
+      SELECT source, n_docs, raw_tokens, eff_tokens_micro,
+        eff_tokens_micro // raw_tokens AS deflation_micro
+      FROM a ORDER BY source"""))
   )
 }

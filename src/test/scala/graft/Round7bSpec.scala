@@ -114,6 +114,56 @@ class Round7bSpec extends AnyFunSuite {
     }
   }
 
+  // ----- q179 blocking recall audit ------------------------------------
+
+  test("q179 provenance cells partition the union and match per-blocker totals") {
+    val rows = SparkEntry.queries("q179_blocking_recall")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // no cell may carry the all-zero bitmap, and cells are distinct
+    assert(rows.forall(r => r.getLong(0) + r.getLong(1) + r.getLong(2) > 0))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct.length == rows.length)
+    // per-blocker totals recomputed from the cells must equal a direct
+    // single-blocker pair count (independent re-derivation for prefix)
+    val prefixFromCells = rows.filter(_.getLong(0) == 1L).map(_.getAs[Long]("n_pairs")).sum
+    val direct = Tables.t(spark, TestSpark.Sf, "documents")
+      .select($"doc_id",
+        md5(array_join(slice(split(graft.ext.TextAnalysis.normText($"text"), " "), 1, 10), " ")).as("k"))
+      .groupBy($"k").count().filter($"count" > 1)
+      .select(expr("sum(count * (count - 1) div 2)")).collect()(0).getLong(0)
+    assert(prefixFromCells == direct,
+      s"prefix-blocker pairs from cells ($prefixFromCells) != direct count ($direct)")
+  }
+
+  // ----- q180 grouped k-fold -------------------------------------------
+
+  test("q180 group-keyed folding has structurally zero leakage; doc-keyed leaks") {
+    val rows = SparkEntry.queries("q180_grouped_kfold")(spark, TestSpark.Sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val grp = rows("group_hash"); val doc = rows("doc_hash")
+    assert(grp.getAs[Long]("leaky_pairs") == 0L,
+      "cluster-keyed folds split a duplicate cluster")
+    assert(grp.getAs[Long]("dup_pairs") == doc.getAs[Long]("dup_pairs"),
+      "dup-pair universe must be scheme-independent")
+    if (doc.getAs[Long]("dup_pairs") > 0)
+      assert(doc.getAs[Long]("leaky_pairs") > 0,
+        "doc-hash folding should scatter at least one duplicate pair at this SF")
+    Seq(grp, doc).foreach { r =>
+      assert(r.getAs[Long]("fold_min_docs") <= r.getAs[Long]("fold_max_docs"))
+    }
+  }
+
+  // ----- q181 effective tokens -----------------------------------------
+
+  test("q181 deflation never exceeds unity and unique docs keep full weight") {
+    val rows = SparkEntry.queries("q181_effective_tokens")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val defl = r.getAs[Long]("deflation_micro")
+      assert(defl > 0 && defl <= 1000000L, s"deflation out of range: $defl")
+      assert(r.getAs[Long]("eff_tokens_micro") <= 1000000L * r.getAs[Long]("raw_tokens"))
+    }
+  }
+
   // ----- q178 class rebalance ------------------------------------------
 
   test("q178 every class is cut to exactly the minority-class size") {
