@@ -12,9 +12,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** events stream schema, matching the events parquet after ts
-    * normalization (nanos → TimestampType happens on read; see
-    * streamFromParquetDir). */
+  /** events stream schema template; ts is declared per-file (see
+    * streamFromParquetDir — the generator has emitted both
+    * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) encodings over time). */
   import org.apache.spark.sql.types._
   val RawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -24,11 +24,26 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. */
+  /** File-source stream over a directory of events parquet.
+    *
+    * A streaming source needs its schema declared up front, but the ts
+    * physical type depends on how the files were generated: Spark's
+    * TimestampType reads MICROS directly, while NANOS only reads as long
+    * (legacy flag) and needs an explicit div-1000 conversion — the same
+    * dual handling as the batch reader (Tables.t). One driver-side footer
+    * probe via the batch reader picks the right declaration; at 100 TB
+    * that is a single-file metadata read, not a scan. */
   def streamFromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(RawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val nanosAsLong =
+      spark.read.parquet(dir).schema("ts").dataType.typeName == "long"
+    if (nanosAsLong)
+      spark.readStream.schema(RawSchema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream.schema(StructType(RawSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+        .parquet(dir)
   }
 
   /** Tumbling-window counts with a watermark — the streaming form of
