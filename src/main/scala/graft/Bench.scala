@@ -25,7 +25,13 @@ object Bench {
     // (BENCHNOTES), and the min is the least noise-contaminated estimate
     // of the plan's cost. Default 1 = the driver's single-pass protocol.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q160_...,q161_... restricts the battery — for
+    // scale probes and dial sweeps over a subset on alternate SF dirs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces full evaluation of every output column

@@ -260,7 +260,12 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    labels
+    // hand back a localCheckpoint, not the cached table: the caller
+    // should not have to remember to release executor storage (the same
+    // hygiene rationale as minhashLshPairsHashed)
+    val out = labels.localCheckpoint()
+    labels.unpersist()
+    out
   }
 
   /** Connected components via alternating large-star / small-star

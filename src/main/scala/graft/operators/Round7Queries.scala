@@ -1809,11 +1809,12 @@ object Round7Queries {
         .localCheckpoint() // 3 consumers (deg, orientation, count) — one materialization
       val deg = e.select($"a".as("v")).unionByName(e.select($"b".as("v")))
         .groupBy($"v").agg(count(lit(1)).as("deg"))
-      // orientation key (deg, id) packed into one long: partkey < 10^7
-      // at every test SF; the 100 TB form orders by struct(deg, id)
+      // orientation key: lexicographic (deg, id) as a struct — ordered
+      // comparison on structs is exact at any id domain (no packed-long
+      // overflow trap at large key spaces)
       val keyed = e
-        .join(deg.select($"v".as("a"), ($"deg" * 10000000L + $"a").as("ka")), "a")
-        .join(deg.select($"v".as("b"), ($"deg" * 10000000L + $"b").as("kb")), "b")
+        .join(deg.select($"v".as("a"), struct($"deg", $"v".as("id")).as("ka")), "a")
+        .join(deg.select($"v".as("b"), struct($"deg", $"v".as("id")).as("kb")), "b")
       val ed = keyed.select(
           when($"ka" < $"kb", $"a").otherwise($"b").as("src"),
           when($"ka" < $"kb", $"b").otherwise($"a").as("dst"),

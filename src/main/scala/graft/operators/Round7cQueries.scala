@@ -34,6 +34,10 @@ object Round7cQueries {
     //   cross-multiplies to 22·tf·S / (10·S·tf + 3·S + 9·dl·N).
     // Only the idf ln is transcendental, handled by the shared micro-ln
     // rule (q127): floor(ln(ratio)·1e6 + 0.5) on identical doubles.
+    // The cross-multiplied products (idf_micro·22·f·S and 9·dl·N) exceed
+    // Int64 once S·N passes ~1e19, so the gate runs in 128-bit integer
+    // arithmetic — DECIMAL(38,0) here, HUGEINT in the oracle — which
+    // holds exactly to S,N ≈ 1e15 (beyond 100 TB of tokens).
     // The query terms are the corpus's three RAREST tokens (df asc) —
     // data-derived, so the oracle reproduces them — and broadcast; the
     // per-doc length and the (N, S) corpus scalars ride one in-DAG
@@ -58,7 +62,8 @@ object Round7cQueries {
             .cast("long"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_terms"),
-          sum(expr("(idf_micro * 22 * f * s) div (10*s*f + 3*s + 9*dl*n)"))
+          sum(expr("CAST((CAST(idf_micro AS DECIMAL(38,0)) * 22 * f * s) div " +
+              "(CAST(10 AS DECIMAL(38,0))*s*f + 3*s + 9*dl*n) AS BIGINT)"))
             .as("score_micro"))
         .orderBy(desc("score_micro"), $"doc_id")
         .limit(20)
@@ -73,7 +78,8 @@ object Round7cQueries {
           CAST(floor(ln((2.0*sc.n + 2) / (2.0*qt.df + 1)) * 1e6 + 0.5) AS BIGINT) AS idf_micro
         FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id) CROSS JOIN sc)
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        CAST(sum((idf_micro * 22 * f * s) // (10*s*f + 3*s + 9*dl*n)) AS BIGINT) AS score_micro
+        CAST(sum((CAST(idf_micro AS HUGEINT) * 22 * f * s)
+          // (CAST(10 AS HUGEINT)*s*f + 3*s + 9*dl*n)) AS BIGINT) AS score_micro
       FROM terms GROUP BY doc_id
       ORDER BY score_micro DESC, doc_id LIMIT 20""")),
 

@@ -141,7 +141,10 @@ object Round7eQueries {
     // (source, bucket) is min(1, p_corpus(b) / p_source(b)); the
     // hash-Bernoulli accept clears to ONE integer inequality
     //   u · n · n_sb < 1e6 · n_b · n_s   (u = md5(doc)%1e6)
-    // with the min(1,·) absorbed (u < 1e6 always). Two bounded
+    // with the min(1,·) absorbed (u < 1e6 always). The three-factor
+    // products pass Int64 once n approaches ~1e9 docs, so the gate
+    // compares in 128-bit integers (DECIMAL(38,0) / HUGEINT) — exact
+    // to n ≈ 1e15 docs. Two bounded
     // histograms, one equi-join back on (source, bucket), seedless and
     // engine-reproducible like q110 — the corpus never sorts, the
     // histograms broadcast.
@@ -161,7 +164,8 @@ object Round7eQueries {
         .join(broadcast(sn), Seq("source"))
         .crossJoin(broadcast(tot))
         .withColumn("acc",
-          when($"u" * $"n" * $"n_sb" < lit(1000000L) * $"n_b" * $"n_s", 1L).otherwise(0L))
+          when(expr("CAST(u AS DECIMAL(38,0)) * n * n_sb") <
+               expr("CAST(1000000 AS DECIMAL(38,0)) * n_b * n_s"), 1L).otherwise(0L))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"), sum($"acc").as("n_accepted"),
           sum(when($"acc" === 1L, $"doc_id").otherwise(0L)).as("accepted_idsum"))
@@ -173,8 +177,8 @@ object Round7eQueries {
       sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
       acc AS (SELECT d.doc_id, d.source,
-          CASE WHEN (('0x' || substr(md5('r|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)
-            * tot.n * sb.n_sb < 1000000 * cb.n_b * sn.n_s THEN 1 ELSE 0 END AS a
+          CASE WHEN CAST(('0x' || substr(md5('r|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS HUGEINT)
+            * tot.n * sb.n_sb < CAST(1000000 AS HUGEINT) * cb.n_b * sn.n_s THEN 1 ELSE 0 END AS a
         FROM d JOIN sb ON d.source = sb.source AND d.b = sb.b
         JOIN cb ON d.b = cb.b JOIN sn ON d.source = sn.source CROSS JOIN tot)
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -98,7 +98,9 @@ object Round7fQueries {
     // and the whole corpus — max over the value grid of
     // |ECDF_s − ECDF_corpus|, computed entirely in integers as
     // max|cum_s·n − cum_c·n_s| / (n_s·n) (the denominator is constant
-    // per source, so the max moves inside). The grid is the DISTINCT
+    // per source, so the max moves inside; the cross-products run in
+    // 128-bit integers — DECIMAL(38,0)/HUGEINT — since cum·n reaches n²,
+    // past Int64 at ~3e9 rows). The grid is the DISTINCT
     // value set (bounded by value cardinality — bucket first for
     // unbounded domains); each source's cumulative rides its own window
     // partition, so sources scan in parallel and nothing global sorts.
@@ -124,10 +126,11 @@ object Round7fQueries {
         .crossJoin(broadcast(tot))
         .groupBy($"source")
         .agg(max($"n_s").as("n_docs"),
-          max(abs($"cum_s" * $"n" - $"cum_c" * $"n_s")).as("mx"),
-          max($"n_s" * $"n").as("den"))
+          max(abs(expr("CAST(cum_s AS DECIMAL(38,0)) * n") -
+                  expr("CAST(cum_c AS DECIMAL(38,0)) * n_s"))).as("mx"),
+          max(expr("CAST(n_s AS DECIMAL(38,0)) * n")).as("den"))
         .select($"source", $"n_docs",
-          expr("(1000000 * mx) div den").as("ks_micro"))
+          expr("CAST((1000000 * mx) div den AS BIGINT)").as("ks_micro"))
         .orderBy($"source")
     }, Some("""
       WITH d AS (SELECT source, n_chars AS v FROM documents),
@@ -144,8 +147,8 @@ object Round7fQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_s
         FROM grid LEFT JOIN sv ON grid.source = sv.source AND grid.v = sv.v),
       m AS (SELECT c.source, max(ns.n_s) AS n_docs,
-          max(abs(c.cum_s * tot.n - cv.cum_c * ns.n_s)) AS mx,
-          max(ns.n_s * tot.n) AS den
+          max(abs(CAST(c.cum_s AS HUGEINT) * tot.n - CAST(cv.cum_c AS HUGEINT) * ns.n_s)) AS mx,
+          max(CAST(ns.n_s AS HUGEINT) * tot.n) AS den
         FROM cums c JOIN cv ON c.v = cv.v JOIN ns ON c.source = ns.source
         CROSS JOIN tot GROUP BY 1)
       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
@@ -206,9 +209,15 @@ object Round7fQueries {
     // The diversity complement of q186's near-rep dropping: cap every
     // LSH band bucket (the q183 b0 key — a semantic neighborhood proxy)
     // at 20 members, keeping a deterministic md5-ordered quota. The
-    // rank ≤ K per bucket compiles to WindowGroupLimit, so at most K
-    // rows per bucket leave each map task — at 100 TB the overflow of a
-    // boilerplate-heavy neighborhood never reaches the shuffle in full.
+    // kept set is a `filter(rn <= 20)` DIRECTLY above the window, so it
+    // compiles to WindowGroupLimit: each map task pre-prunes every
+    // bucket to its top-20 before the shuffle, and at 100 TB the
+    // overflow of a boilerplate-heavy neighborhood never leaves the map
+    // side. The per-source totals ride a SEPARATE plain aggregate (no
+    // window — partial map-side combine to |sources| rows); a capped
+    // count folded into the window branch would force every row through
+    // the bk shuffle and defeat the group limit. Plan pinned in
+    // Round7fSpec (WindowGroupLimit present + totals branch window-free).
     ("q197_diversity_cap", (s: SparkSession, dir: String) => {
       import s.implicits._
       val keyed = Tables.spread(Tables.t(s, dir, "documents"))
@@ -220,13 +229,15 @@ object Round7fQueries {
             Dedup.minhashInt($"hs", 1).cast("string"))).as("bk"),
           conv(substring(md5(concat(lit("c|"), $"doc_id".cast("string"))), 1, 8), 16, 10)
             .cast("long").as("u"))
-      keyed
+      val totals = keyed.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      val kept = keyed
         .withColumn("rn", row_number().over(
           Window.partitionBy($"bk").orderBy($"u", $"doc_id")))
+        .filter($"rn" <= 20) // WindowGroupLimit: ≤20 rows/bucket leave each map task
         .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when($"rn" <= 20, 1L).otherwise(0L)).as("n_kept"),
-          sum(when($"rn" <= 20, $"doc_id").otherwise(0L)).as("kept_idsum"))
+        .agg(count(lit(1)).as("n_kept"), sum($"doc_id").as("kept_idsum"))
+      totals.join(kept, Seq("source"), "left")
+        .na.fill(0L, Seq("n_kept", "kept_idsum"))
         .select($"source", $"n_docs", $"n_kept",
           ($"n_docs" - $"n_kept").as("n_capped_out"), $"kept_idsum")
         .orderBy($"source")

@@ -32,11 +32,15 @@ object EventStream {
     * (legacy flag) and needs an explicit div-1000 conversion — the same
     * dual handling as the batch reader (Tables.t). One driver-side footer
     * probe via the batch reader picks the right declaration; at 100 TB
-    * that is a single-file metadata read, not a scan. */
+    * that is a single-file metadata read, not a scan. An empty or
+    * not-yet-populated directory (a normal state for a file-source
+    * stream awaiting its first files) has no footer to probe — fall
+    * back to the NANOS/long declaration so the stream still starts. */
   def streamFromParquetDir(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nanosAsLong =
-      spark.read.parquet(dir).schema("ts").dataType.typeName == "long"
+      try spark.read.parquet(dir).schema("ts").dataType.typeName == "long"
+      catch { case scala.util.control.NonFatal(_) => true }
     if (nanosAsLong)
       spark.readStream.schema(RawSchema).parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

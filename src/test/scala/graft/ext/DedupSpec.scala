@@ -107,6 +107,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("connected components: chains, cliques, and singleton edges") {
+    spark.catalog.clearCache() // isolate the CacheManager assertion below
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L),   // chain -> component 1
       (10L, 11L),                      // pair -> component 10
@@ -121,6 +122,10 @@ class DedupSpec extends AnyFunSuite {
     val iter = Dedup.connectedComponents(pairs)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(iter == expected)
+    // the returned labels are a localCheckpoint, not a cached plan the
+    // caller must remember to release (same hygiene as minhashLshPairs)
+    assert(org.apache.spark.sql.CacheIntrospect.cacheIsEmpty(spark),
+      "connectedComponents must not leave cached plans behind")
     // edge-order independence (determinism)
     val shuffled = Dedup.connectedComponentsLocal(
       pairs.orderBy($"id_b".desc)).orderBy("id").as[(Long, Long)].collect().toSeq

@@ -17,6 +17,16 @@ class EventStreamSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("stream construction survives an empty directory (footer probe falls back)") {
+    // a file-source stream awaiting its first files is a normal state:
+    // the schema probe has nothing to read and must fall back to the
+    // NANOS/long declaration rather than throw
+    val empty = Files.createTempDirectory("graft_events_empty").toString
+    val stream = EventStream.streamFromParquetDir(spark, empty)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType.typeName == "timestamp")
+  }
+
   test("streaming windowed counts equal the batch q14 aggregation") {
     val stream = EventStream.streamFromParquetDir(spark, eventsDir)
     val q = EventStream.windowedCounts(stream)
