@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   *    the vocabulary grows ~K× like a real corpus; blocking buckets
   *    (bounded key spaces: lang × length-band) grow ~K× in SIZE, which
   *    is exactly what a real K× corpus does to them;
-  *  - embedding vectors get a per-replica constant component shift —
-  *    intra-replica geometry is preserved exactly and components stay
-  *    integer-valued (the q101 determinism rule);
+  *  - embedding vectors get a per-replica deterministic SIGN FLIP per
+  *    component (md5-derived): dot(a', b') = Σ aᵢbᵢ·sᵢ² = dot(a, b), so
+  *    intra-replica geometry — every cosine, every neighbor rank — is
+  *    preserved EXACTLY, components stay integer-valued (the q101
+  *    rule), and cross-replica vectors decorrelate like fresh draws.
+  *    (A constant +k shift, the first attempt, fails here: the shift
+  *    dominates every LSH projection's sign and collapses all shifted
+  *    replicas into one mega-bucket — the probe then measures the
+  *    generator, not the operator.);
   *  - lineitem graph keys are offset per replica, so the co-occurrence /
   *    bipartite graphs become K disjoint copies with degree structure
   *    preserved exactly (the clean scaling for graph-algorithm probes).
@@ -60,14 +66,16 @@ object ScaleGen {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // embeddings: shift ids, shift every component by the replica index
+    // embeddings: shift ids, sign-flip components per replica (md5-keyed,
+    // so the flip pattern is deterministic and engine-reproducible)
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embOff = emb.agg(max($"vec_id")).head().getLong(0) + 1
     replicate(emb, (e, i) =>
       if (i == 0) e
       else e.select(
         ($"vec_id" + lit(i.toLong * embOff)).as("vec_id"),
-        transform($"embedding", x => x + lit(i.toFloat)).as("embedding"),
+        expr(s"transform(embedding, (x, j) -> CAST(x * (CAST(conv(substr(md5('$i' || '_' || CAST(j AS STRING)), 1, 2), 16, 10) AS LONG) % 2 * 2 - 1) AS FLOAT))")
+          .as("embedding"),
         $"label"))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{Dedup, TextAnalysis => TA}
+
+/** Round-8 additions, both answering design questions the round's scale
+  * probe raised: how to SHARD a corpus so dedup can run shard-locally,
+  * and how small a minhash signature can get before the estimate
+  * degrades (the persistent-index capacity dial).
+  *
+  * House rules as elsewhere: shared md5/permutation templates, integer
+  * arithmetic near the gate, no negative integer division (Spark
+  * truncates, DuckDB floors — clamp first), identical aliases, total
+  * ORDER BY.
+  */
+object Round8Queries {
+
+  private val normSql = TA.normTextSql
+  private val P = Dedup.HashPrime
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** The q21 oracle template verbatim (ExtQueries.minhashPairsCte):
+    * ends in `verified(id_a, id_b, jaccard)` plus the intermediate
+    * `mh(doc_id, m0..m7)` / `hst` / `d` tables, which q198 consumes. */
+  private def minhashVerifiedCte: String = {
+    val mhDefs = (0 until 8).map(s => s"${Dedup.minhashSql(s)} AS m$s")
+      .mkString(",\n        ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(CAST(m${2 * b} AS VARCHAR) || '|' || CAST(m${2 * b + 1} AS VARCHAR)) AS band_key FROM mh")
+      .mkString("\n        UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS arr FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
+        i -> array_to_string(arr[i:i+2], ' '))) AS sh FROM d),
+      hst AS (SELECT doc_id, list_distinct(list_transform(sh,
+        g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS hs FROM sh),
+      mh AS (SELECT doc_id,
+        $mhDefs
+        FROM hst),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b USING (band_idx, band_key)
+        WHERE a.doc_id < b.doc_id),
+      verified AS (SELECT id_a, id_b,
+        len(list_intersect(ha.hs, hb.hs)) / len(list_distinct(list_concat(ha.hs, hb.hs))) AS jaccard
+        FROM cand
+        JOIN hst ha ON ha.doc_id = id_a
+        JOIN hst hb ON hb.doc_id = id_b)"""
+  }
+
+  def queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- shard-locality audit for distributed dedup --------------------
+    // The 100 TB partition-design question, quantified: dedup run
+    // SHARD-LOCALLY (each shard deduped independently — embarrassingly
+    // parallel, no global shuffle) only finds duplicate pairs whose two
+    // members hash to the same shard. This audit takes the q21 verified
+    // near-dup pairs as ground truth and measures the intra-shard
+    // fraction under two 16-shard policies: 'hash16' (uniform md5 of
+    // the doc id — the naive layout; expected intra ≈ 1/16, i.e. the
+    // audit PROVES random sharding forfeits ~94% of dup pairs) and
+    // 'band' (shard by the doc's first LSH band key — the
+    // locality-preserving layout, where band-equal pairs land together
+    // by construction and recall is bounded only by pairs caught via
+    // the other bands). The pair list is rare-event output (orders
+    // smaller than the corpus) and the policy comparison is one explode
+    // + aggregate over it, so the audit costs nothing beyond the dedup
+    // it audits.
+    ("q198_shard_locality", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"doc_id".as("id"),
+          graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
+      val pairs = Dedup.minhashLshPairsHashed(docs, nBands = 4, threshold = 0.5)
+        .select($"id_a", $"id_b")
+      val keyed = docs.select($"id",
+        (conv(substring(md5(concat(lit("sh|"), $"id".cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 16).as("shard_hash"),
+        (conv(substring(md5(concat_ws("|",
+            Dedup.minhashInt($"hs", 0).cast("string"),
+            Dedup.minhashInt($"hs", 1).cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 16).as("shard_band"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val j = pairs
+        .join(keyed.toDF("id_a", "ha", "ba"), Seq("id_a"))
+        .join(keyed.toDF("id_b", "hb", "bb"), Seq("id_b"))
+      j.select(explode(array(
+          struct(lit("band").as("policy"),
+            when($"ba" === $"bb", 1L).otherwise(0L).as("intra")),
+          struct(lit("hash16").as("policy"),
+            when($"ha" === $"hb", 1L).otherwise(0L).as("intra")))).as("p"))
+        .select($"p.policy".as("policy"), $"p.intra".as("intra"))
+        .groupBy($"policy")
+        .agg(count(lit(1)).as("n_pairs"), sum($"intra").as("n_intra"))
+        .crossJoin(broadcast(nd))
+        .select($"policy", $"n_docs", $"n_pairs", $"n_intra",
+          expr("(1000000 * n_intra) div n_pairs").as("intra_micro"))
+        .orderBy($"policy")
+    }, Some(s"""
+      $minhashVerifiedCte,
+      pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      keyed AS (SELECT doc_id,
+          ('0x' || substr(md5('sh|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard_hash,
+          ('0x' || substr(md5(CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard_band
+        FROM mh),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+      j AS (SELECT a.shard_hash AS ha, a.shard_band AS ba,
+          b.shard_hash AS hb, b.shard_band AS bb
+        FROM pairs p JOIN keyed a ON a.doc_id = p.id_a JOIN keyed b ON b.doc_id = p.id_b),
+      pol AS (SELECT 'band' AS policy, CASE WHEN ba = bb THEN 1 ELSE 0 END AS intra FROM j
+        UNION ALL SELECT 'hash16' AS policy, CASE WHEN ha = hb THEN 1 ELSE 0 END FROM j)
+      SELECT policy, nd.n_docs, CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(intra) AS BIGINT) AS n_intra,
+        (1000000 * CAST(sum(intra) AS BIGINT)) // CAST(count(*) AS BIGINT) AS intra_micro
+      FROM pol CROSS JOIN nd GROUP BY policy, nd.n_docs ORDER BY policy""")),
+
+    // ----- b-bit minhash: the signature-store capacity dial ---------------
+    // q194's 8-perm source signatures kept as 64-bit values; at 100 TB
+    // the persistent dedup/similarity index stores one signature per
+    // document, so bytes-per-perm is the capacity dial. b-bit minhash
+    // (Li & König, 2010) keeps only the LOWEST b bits of each perm —
+    // 16× smaller at b=4 — and corrects the estimate for accidental
+    // low-bit collisions: with collision baseline C = 2^-b,
+    //   Ĵ = (match_frac − C) / (1 − C),
+    // which at b=4, 8 perms clears to the integer form
+    //   est = 1e6 · max(0, 2·matches − 1) / 15
+    // (clamped BEFORE the division — Spark's div truncates while
+    // DuckDB's // floors, so a negative numerator would silently
+    // diverge). Emitted next to the full-width estimate and the exact
+    // token-set Jaccard: the three-way comparison IS the sizing table —
+    // what resolution each storage tier buys at |sources|² cost, never
+    // touching content.
+    ("q199_bbit_minhash", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val st = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", explode(split(TA.normText($"text"), " ")).as("tok"))
+        .distinct()
+      val h = st.withColumn("h",
+        conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long"))
+      val minCols: Seq[Column] = (0 until 8).map { k =>
+        val (a, b) = Dedup.permConsts(k)
+        min(($"h" * a + b) % P).as(s"m$k")
+      }
+      val sigs = h.groupBy($"source")
+        .agg(count(lit(1)).as("n_toks"), minCols: _*)
+      val a = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
+      val b = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+      val fullM = (0 until 8).map(k =>
+        when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0)).reduce(_ + _)
+      val bbitM = (0 until 8).map(k =>
+        when(col(s"a_m$k") % 16 === col(s"b_m$k") % 16, 1).otherwise(0)).reduce(_ + _)
+      val pairs = a.join(b, col("a_source") < col("b_source"))
+        .select(col("a_source").as("source_a"), col("b_source").as("source_b"),
+          col("a_n_toks").as("n_a"), col("b_n_toks").as("n_b"),
+          fullM.cast("long").as("full_matches"),
+          bbitM.cast("long").as("bbit_matches"))
+      val inter = st.toDF("source_a", "tok")
+        .join(st.toDF("source_b", "tok"), Seq("tok"))
+        .filter($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("inter"))
+      pairs.join(inter, Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("inter"))
+        .select($"source_a", $"source_b", $"full_matches", $"bbit_matches",
+          ($"full_matches" * 125000).as("est_full_micro"),
+          expr("(1000000 * greatest(0, 2 * bbit_matches - 1)) div 15").as("est_bbit_micro"),
+          expr("(1000000 * inter) div (n_a + n_b - inter)").as("exact_micro"))
+        .orderBy($"source_a", $"source_b")
+    }, Some {
+      val mins = (0 until 8).map { k =>
+        val (a, b) = Dedup.permConsts(k)
+        s"min((h * $a + $b) % $P) AS m$k"
+      }.mkString(", ")
+      val eqFull = (0 until 8).map(k =>
+        s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+      val eqBbit = (0 until 8).map(k =>
+        s"(CASE WHEN a.m$k % 16 = b.m$k % 16 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH st AS (SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest(string_split($normSql, ' ')) AS tok FROM documents)),
+      h AS (SELECT source, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM st),
+      sig AS (SELECT source, CAST(count(*) AS BIGINT) AS n_toks, $mins
+        FROM h GROUP BY 1),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+          a.n_toks AS n_a, b.n_toks AS n_b,
+          CAST($eqFull AS BIGINT) AS full_matches,
+          CAST($eqBbit AS BIGINT) AS bbit_matches
+        FROM sig a JOIN sig b ON a.source < b.source),
+      i AS (SELECT x.source AS source_a, y.source AS source_b,
+          CAST(count(*) AS BIGINT) AS inter
+        FROM st x JOIN st y ON x.tok = y.tok AND x.source < y.source GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.full_matches, p.bbit_matches,
+        p.full_matches * 125000 AS est_full_micro,
+        (1000000 * greatest(0, 2 * p.bbit_matches - 1)) // 15 AS est_bbit_micro,
+        (1000000 * CAST(coalesce(i.inter, 0) AS BIGINT))
+          // (p.n_a + p.n_b - CAST(coalesce(i.inter, 0) AS BIGINT)) AS exact_micro
+      FROM pairs p LEFT JOIN i ON p.source_a = i.source_a AND p.source_b = i.source_b
+      ORDER BY 1, 2"""
+    })
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.operators.Round8Queries
+
+/** Behavior pins for the Round8 operators (q198–q199) beyond the
+  * oracle gate. */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def q(name: String) =
+    Round8Queries.queries.collectFirst { case (`name`, fn, _) => fn }.get
+
+  private def normText(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  // ----- q198 shard locality --------------------------------------------
+
+  test("q198 matches an imperative shard audit over the q21 pair list") {
+    // ground truth pairs and per-doc minhashes through the same shared
+    // helpers the query uses (the q183 pattern), shards recomputed
+    // imperatively from the raw md5s
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select($"doc_id".as("id"),
+        graft.functions.WordShingleHash32(TA.normText($"text"), 3).as("hs"))
+    val pairs = Dedup.minhashLshPairsHashed(docs, nBands = 4, threshold = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val mh = docs.select($"id",
+        Dedup.minhashInt($"hs", 0).as("m0"), Dedup.minhashInt($"hs", 1).as("m1"))
+      .as[(Long, Long, Long)].collect()
+    val shardHash = mh.map { case (id, _, _) => id -> h32(s"sh|$id") % 16 }.toMap
+    val shardBand = mh.map { case (id, m0, m1) => id -> h32(s"$m0|$m1") % 16 }.toMap
+    val nDocs = mh.length.toLong
+    val nPairs = pairs.length.toLong
+    val intraHash = pairs.count { case (a, b) => shardHash(a) == shardHash(b) }.toLong
+    val intraBand = pairs.count { case (a, b) => shardBand(a) == shardBand(b) }.toLong
+    val expected = Seq(
+      ("band", nDocs, nPairs, intraBand, 1000000L * intraBand / nPairs),
+      ("hash16", nDocs, nPairs, intraHash, 1000000L * intraHash / nPairs))
+    val df = q("q198_shard_locality")(spark, TestSpark.Sf)
+    val got = df.as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // locality ordering: the band shard keeps at least as many pairs
+    // intra-shard as uniform hashing (it is equality on band 0's key)
+    assert(intraBand >= intraHash)
+    // all joins are equi-joins on id/band keys — no cross product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  // ----- q199 b-bit minhash ---------------------------------------------
+
+  test("q199 matches an imperative b-bit estimator; estimates bracket exact") {
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (src, t) => (src, normText(t).split(" ").toSeq) }
+    val bySrc = docs.flatMap { case (src, ts) => ts.map((src, _)) }
+      .distinct.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    val sigs = bySrc.map { case (s, toks) =>
+      s -> (0 until 8).map { k =>
+        val (a, b) = Dedup.permConsts(k)
+        toks.map(t => (h32(t) * a + b) % Dedup.HashPrime).min
+      }
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield {
+      val (na, nb) = (bySrc(a).size.toLong, bySrc(b).size.toLong)
+      val inter = (bySrc(a) intersect bySrc(b)).size.toLong
+      val full = (0 until 8).count(k => sigs(a)(k) == sigs(b)(k)).toLong
+      val bbit = (0 until 8).count(k => sigs(a)(k) % 16 == sigs(b)(k) % 16).toLong
+      (a, b, full, bbit, full * 125000L,
+        1000000L * math.max(0L, 2 * bbit - 1) / 15L,
+        1000000L * inter / (na + nb - inter))
+    }).sortBy(r => (r._1, r._2))
+    val got = q("q199_bbit_minhash")(spark, TestSpark.Sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // a low-bit collision can only ADD matches: bbit_matches >= full_matches
+    assert(got.forall(r => r._4 >= r._3))
+    // the corrected estimator deflates the collision inflation: at full
+    // agreement both estimators read 1.0
+    assert(got.filter(_._3 == 8).forall(r => r._5 == 1000000L && r._6 == 1000000L))
+  }
+}
