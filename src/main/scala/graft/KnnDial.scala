@@ -36,37 +36,49 @@ object KnnDial {
       .select(col("q_id"), col("c_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    def scoredPairs(nProj: Int) = {
+    def scoredPairs(nProj: Int, multiProbe: Boolean) = {
       val projs = Similarity.projectionVectors(nProj, 64)
       val b = prepared.withColumn("bucket", Similarity.lshBucket(col("qvec"), projs))
-      val q = b.select(col("bucket"), col("id").as("q_id"),
+      val q0 = b.select(col("bucket"), col("id").as("q_id"),
         col("qvec").as("q_vec"), col("n2").as("q_n2"))
+      val q = if (!multiProbe) q0 else {
+        val probeList = array((lit(0) +: projs.indices.map(j => lit(1 << j))): _*)
+        b.withColumn("__flip", explode(probeList))
+          .select(expr("bucket ^ __flip").as("bucket"), col("id").as("q_id"),
+            col("qvec").as("q_vec"), col("n2").as("q_n2"))
+      }
       val c = b.select(col("bucket"), col("id").as("c_id"),
         col("qvec").as("c_vec"), col("n2").as("c_n2"))
-      q.join(c, "bucket").filter(col("q_id") =!= col("c_id"))
+      val base = q.join(c, "bucket").filter(col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("c_id"),
           Similarity.cosine(Similarity.dot(col("q_vec"), col("c_vec")),
             col("q_n2"), col("c_n2")).as("cos_sim"))
+      if (multiProbe) base.distinct() else base
     }
 
-    def knnEdges(nProj: Int) = {
+    def knnEdges(nProj: Int, multiProbe: Boolean) = {
       val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), col("c_id"))
-      scoredPairs(nProj).withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      scoredPairs(nProj, multiProbe)
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("q_id"), col("c_id"))
     }
 
-    knnEdges(4).write.format("noop").mode("overwrite").save() // shape warmup
+    knnEdges(4, multiProbe = false).write.format("noop").mode("overwrite").save() // shape warmup
 
-    val rows = Seq(4, 6, 8).map { np =>
+    val rows = for {
+      np <- Seq(4, 6, 8)
+      mp <- Seq(false, true)
+    } yield {
       val t0 = System.nanoTime()
-      knnEdges(np).write.format("noop").mode("overwrite").save()
+      knnEdges(np, mp).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      val got = knnEdges(np).filter(col("q_id") % 100 === 0)
+      val got = knnEdges(np, mp).filter(col("q_id") % 100 === 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recallMicro = 1000000L * got.count(exact.contains) / exact.size
       // the metric that scales: candidate-pair volume entering the window
-      val nPairs = scoredPairs(np).count()
-      s""""nproj$np":{"sec":$sec,"recall_micro":$recallMicro,"n_pairs":$nPairs}"""
+      val nPairs = scoredPairs(np, mp).count()
+      val tag = if (mp) s"nproj${np}_mp" else s"nproj$np"
+      s""""$tag":{"sec":$sec,"recall_micro":$recallMicro,"n_pairs":$nPairs}"""
     }
     println(s"""{"metric":"knn_nproj_dial","n_probe_nodes":${exact.map(_._1).size},${rows.mkString(",")},"sf":"$sfDir"}""")
     spark.stop()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ext.{Dedup, TextAnalysis => TA}
+import graft.ext.{Dedup, Similarity, TextAnalysis => TA}
 
 /** Round-8 additions, both answering design questions the round's scale
   * probe raised: how to SHARD a corpus so dedup can run shard-locally,
@@ -52,6 +52,61 @@ object Round8Queries {
   }
 
   def queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- multi-probe kNN graph (the recall complement to q158) ---------
+    // The round-8 KnnDial sweep measured the single-table LSH tradeoff:
+    // raising nProj splits candidate volume ÷2^Δ but collapses recall
+    // (17.8% → 3.5% at ×10 scale), because a true neighbor differing in
+    // ONE sign bit lands one bucket over. Multi-probe recovers exactly
+    // those: every node ALSO probes its nProj Hamming-1 buckets, so the
+    // candidate join costs (nProj+1)× the single-table volume at the
+    // SAME bucketing — a net win whenever the bucket split it enables
+    // (2^Δ) exceeds nProj+1. Same bucket equi-join shape as q158 (no
+    // broadcast: both sides shuffle on the bucket key, which is the
+    // 100 TB-safe form for an every-node query set), distinct on the
+    // (q, c) pair because probe buckets overlap, then the identical
+    // top-3 + mutual-edge construction.
+    ("q200_knn_graph_multiprobe", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val prepared = Similarity.prepare(
+        Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
+      val projs = Similarity.OracleProjs
+      val b = prepared.withColumn("bucket", Similarity.lshBucket(col("qvec"), projs))
+      val probeList = array((lit(0) +: projs.indices.map(j => lit(1 << j))): _*)
+      val q = b.withColumn("__flip", explode(probeList))
+        .select(expr("bucket ^ __flip").as("bucket"),
+          $"id".as("q_id"), $"qvec".as("q_vec"), $"n2".as("q_n2"))
+      val c = b.select($"bucket", $"id".as("c_id"),
+        $"qvec".as("c_vec"), $"n2".as("c_n2"))
+      val scored = q.join(c, "bucket").filter($"q_id" =!= $"c_id")
+        .select($"q_id", $"c_id",
+          Similarity.cosine(Similarity.dot($"q_vec", $"c_vec"), $"q_n2", $"c_n2")
+            .as("cos_sim"))
+        .distinct()
+      val w = Window.partitionBy($"q_id").orderBy(desc("cos_sim"), $"c_id")
+      val knn = scored.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 3)
+      val rev = knn.select($"c_id".as("q_id"), $"q_id".as("c_id"), lit(1).as("m"))
+      knn.join(rev, Seq("q_id", "c_id"), "left")
+        .select($"q_id", $"rnk", $"c_id", $"cos_sim",
+          coalesce($"m", lit(0)).cast("long").as("mutual"))
+        .orderBy("q_id", "rnk")
+    }, Some(s"""
+      WITH ${Similarity.prepareSql},
+      b AS (SELECT vec_id, qvec, n2, ${Similarity.lshBucketSql} AS bucket FROM n),
+      q AS (SELECT xor(bucket, flip) AS bucket, vec_id AS q_id, qvec AS q_vec, n2 AS q_n2
+        FROM b, unnest([0, 1, 2, 4, 8]) AS t(flip)),
+      scored AS (SELECT DISTINCT q.q_id, c.vec_id AS c_id,
+        list_dot_product(q.q_vec, c.qvec) / sqrt(q.q_n2 * c.n2) AS cos_sim
+        FROM b c JOIN q ON c.bucket = q.bucket AND q.q_id <> c.vec_id),
+      r AS (SELECT q_id, c_id, cos_sim,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+        FROM scored),
+      knn AS (SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 3)
+      SELECT k.q_id, k.rnk, k.c_id, k.cos_sim,
+        CAST(CASE WHEN m.q_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS mutual
+      FROM knn k LEFT JOIN knn m ON m.q_id = k.c_id AND m.c_id = k.q_id
+      ORDER BY k.q_id, k.rnk""")),
 
     // ----- shard-locality audit for distributed dedup --------------------
     // The 100 TB partition-design question, quantified: dedup run

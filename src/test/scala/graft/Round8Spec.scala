@@ -24,6 +24,31 @@ class Round8Spec extends AnyFunSuite {
 
   private def h32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
 
+  // ----- q200 multi-probe kNN graph -------------------------------------
+
+  test("q200 dominates q158's single-bucket top-3; bucket join is an equi-join") {
+    import graft.operators.Round7Queries
+    val single = Round7Queries.queries
+      .collectFirst { case ("q158_knn_graph", fn, _) => fn }.get
+      .apply(spark, TestSpark.Sf)
+      .select($"q_id", $"rnk", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val df = q("q200_knn_graph_multiprobe")(spark, TestSpark.Sf)
+    val multi = df.select($"q_id", $"rnk", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    // a superset of candidates can only raise (or keep) the weakest of
+    // the top-3 — per node, multi-probe's 3rd-best >= single-bucket's
+    assert(single.keySet.subsetOf(multi.keySet))
+    assert(single.forall { case (id, worst) => multi(id) >= worst - 1e-12 })
+    // scale shape: candidates come from a bucket equi-join, never a
+    // cross product, and the every-node query side is not broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   // ----- q198 shard locality --------------------------------------------
 
   test("q198 matches an imperative shard audit over the q21 pair list") {
