@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -171,6 +172,123 @@ object Round8Queries {
         CAST(sum(intra) AS BIGINT) AS n_intra,
         (1000000 * CAST(sum(intra) AS BIGINT)) // CAST(count(*) AS BIGINT) AS intra_micro
       FROM pol CROSS JOIN nd GROUP BY policy, nd.n_docs ORDER BY policy""")),
+
+    // ----- watermark-lateness profile (streaming-design table) -----------
+    // Choosing a Structured Streaming watermark horizon is a data
+    // question — how late does this stream actually run? — usually
+    // answered by guessing. This profile answers it from the data:
+    // per-key (user) arrival order is the event_id sequence, lateness of
+    // an event is the running max event-time over that order minus its
+    // own event-time, and the output is the horizon ladder {0 s, 1 s,
+    // 10 s, 60 s, 600 s, 3600 s} with how many events a watermark at
+    // that horizon keeps. Per-KEY lateness underestimates the global
+    // single-stream form (Spark's watermark is global: the running max
+    // spans all keys), so the table is the optimistic bound — the
+    // per-key windows parallelize over users, nothing global sorts, and
+    // at 100 TB that is the only computable form; the gap closes as the
+    // key count grows because the global max is almost surely advanced
+    // by some key between any key's consecutive events.
+    ("q201_watermark_lateness", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val raw = Tables.t(s, dir, "events")
+      // the generator has emitted ts as TIMESTAMP, TIMESTAMP_NTZ, and
+      // TIMESTAMP(NANOS) over time (TESTDATA gotcha) — normalize to
+      // epoch micros; lateness is a DIFFERENCE, so any constant session
+      // offset a cast introduces cancels
+      val tusCol = raw.schema("ts").dataType.typeName match {
+        case "timestamp_ntz" => unix_micros($"ts".cast("timestamp"))
+        case _ => unix_micros($"ts")
+      }
+      val ev = raw.select($"event_id", $"user_id", tusCol.as("tus"))
+      val late = ev.withColumn("late_s", expr(
+        "(max(tus) OVER (PARTITION BY user_id ORDER BY event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus) div 1000000"))
+      val tot = late.agg(count(lit(1)).as("n"))
+      val horizons = Seq(0L, 1L, 10L, 60L, 600L, 3600L)
+      late.select(explode(array(horizons.map(hz =>
+          struct(lit(hz).as("horizon_s"),
+            when($"late_s" <= hz, 1L).otherwise(0L).as("ok"))): _*)).as("p"))
+        .select($"p.horizon_s".as("horizon_s"), $"p.ok".as("ok"))
+        .groupBy($"horizon_s")
+        .agg(sum($"ok").as("n_on_time"))
+        .crossJoin(broadcast(tot))
+        .select($"horizon_s", $"n_on_time", ($"n" - $"n_on_time").as("n_dropped"),
+          expr("(1000000 * n_on_time) div n").as("on_time_micro"))
+        .orderBy($"horizon_s")
+    }, Some("""
+      WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+      late AS (SELECT (max(tus) OVER (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus) // 1000000 AS late_s
+        FROM ev),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM late),
+      h AS (SELECT unnest([0, 1, 10, 60, 600, 3600]) AS horizon_s),
+      agg AS (SELECT h.horizon_s,
+          CAST(sum(CASE WHEN late.late_s <= h.horizon_s THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+        FROM late CROSS JOIN h GROUP BY h.horizon_s)
+      SELECT CAST(horizon_s AS BIGINT) AS horizon_s, n_on_time,
+        tot.n - n_on_time AS n_dropped,
+        (1000000 * n_on_time) // tot.n AS on_time_micro
+      FROM agg CROSS JOIN tot ORDER BY horizon_s""")),
+
+    // ----- KMV sketch merge: mergeability, proven relationally -----------
+    // The property every distributed sketch lives on: bottom-k of the
+    // UNION of per-source bottom-k sketches equals bottom-k of the full
+    // set (any of the k globally smallest hashes is necessarily inside
+    // its own source's bottom-k). This operator computes the corpus
+    // distinct-SHINGLE estimate (the 3-gram universe — 16k+ values at
+    // test SF, where the word vocab is too small for k=64) BOTH ways —
+    // directly, and by merging the
+    // per-source sketches — with the same q53 estimator
+    // (k−1)·2⁴⁸ / h_(k); the gate pins them equal. At 100 TB the
+    // per-source sketches are the persisted incremental state (64 longs
+    // per source per batch) and the merge path touches k·|sources| rows,
+    // never the corpus: this query IS the re-estimation a mixing planner
+    // runs after every ingest. Both bottom-k cuts are ORDER BY + LIMIT —
+    // TakeOrderedAndProject, per-partition top-k then one k-row merge,
+    // no single-partition vocabulary sort anywhere.
+    ("q202_kmv_merge", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val k = 64
+      val st = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", explode(TA.shingles($"text", 3)).as("tok"))
+        .distinct()
+      val h = st.withColumn("h",
+        conv(substring(md5($"tok"), 1, 12), 16, 10).cast("long"))
+        .localCheckpoint() // consumed by 3 branches (direct, sketch, exact)
+      val wS = Window.partitionBy($"source").orderBy($"h", $"tok")
+      val sketches = h.withColumn("rn", row_number().over(wS))
+        .filter($"rn" <= k).select($"h", $"tok")
+      val mergedKth = sketches.distinct().orderBy($"h", $"tok").limit(k)
+        .agg(max($"h").as("kh"))
+      val directKth = h.select($"h", $"tok").distinct().orderBy($"h", $"tok").limit(k)
+        .agg(max($"h").as("kh"))
+      val exact = h.select($"tok").distinct().agg(count(lit(1)).as("n_exact"))
+      val ns = h.select($"source").distinct().agg(count(lit(1)).as("n_sources"))
+      ns.crossJoin(exact)
+        .crossJoin(directKth.select(
+          (lit((k - 1).toDouble) * lit(math.pow(2, 48)) / $"kh".cast("double"))
+            .as("est_direct")))
+        .crossJoin(mergedKth.select(
+          (lit((k - 1).toDouble) * lit(math.pow(2, 48)) / $"kh".cast("double"))
+            .as("est_merged")))
+        .select($"n_sources", $"n_exact", $"est_direct", $"est_merged")
+    }, Some(s"""
+      WITH d AS (SELECT source, string_split($normSql, ' ') AS arr FROM documents),
+      st AS (SELECT DISTINCT source, tok
+        FROM (SELECT source, unnest(list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
+          i -> array_to_string(arr[i:i+2], ' '))) AS tok FROM d)),
+      h AS (SELECT source, tok, ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h FROM st),
+      sk AS (SELECT h, tok FROM (SELECT h, tok,
+          row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn FROM h)
+        WHERE rn <= 64),
+      mk AS (SELECT max(h) AS kh FROM (SELECT DISTINCT h, tok FROM sk ORDER BY h, tok LIMIT 64)),
+      dk AS (SELECT max(h) AS kh FROM (SELECT DISTINCT h, tok FROM h ORDER BY h, tok LIMIT 64)),
+      x AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_exact FROM h),
+      nsrc AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM h)
+      SELECT nsrc.n_sources, x.n_exact,
+        63.0 * 281474976710656 / dk.kh AS est_direct,
+        63.0 * 281474976710656 / mk.kh AS est_merged
+      FROM nsrc CROSS JOIN x CROSS JOIN dk CROSS JOIN mk""")),
 
     // ----- b-bit minhash: the signature-store capacity dial ---------------
     // q194's 8-perm source signatures kept as 64-bit values; at 100 TB

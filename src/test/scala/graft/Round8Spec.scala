@@ -83,6 +83,69 @@ class Round8Spec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  // ----- q201 watermark lateness ----------------------------------------
+
+  test("q201 ladder discriminates on a disordered stream; driver data reads fully ordered") {
+    // the driver's generator emits a time-ordered stream — the honest
+    // profile there is all-on-time at every horizon
+    val onDriver = q("q201_watermark_lateness")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(onDriver.map(_._1) == Seq(0L, 1L, 10L, 60L, 600L, 3600L))
+    assert(onDriver.forall(r => r._3 == 0L && r._4 == 1000000L))
+    // synthetic disorder: one user, 4 events; arrival order (event_id)
+    // vs event time gives lateness 0, 0, 120 s, 5 s
+    val dir = java.nio.file.Files.createTempDirectory("graft_q201").toString
+    val base = 1700000000L * 1000000L // epoch micros
+    Seq(
+      (1L, base + 0L, 7L, "a", 0.0, "{}"),
+      (2L, base + 200L * 1000000L, 7L, "a", 0.0, "{}"),
+      (3L, base + 80L * 1000000L, 7L, "a", 0.0, "{}"),   // 120 s late
+      (4L, base + 195L * 1000000L, 7L, "a", 0.0, "{}"))  // 5 s late
+      .toDF("event_id", "tus", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"tus").as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = q("q201_watermark_lateness")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val expected = Seq(
+      (0L, 2L, 2L, 500000L),     // the two on-time events
+      (1L, 2L, 2L, 500000L),
+      (10L, 3L, 1L, 750000L),    // horizon 10 s admits the 5 s-late one
+      (60L, 3L, 1L, 750000L),
+      (600L, 4L, 0L, 1000000L),  // 600 s admits the 120 s-late one
+      (3600L, 4L, 0L, 1000000L))
+    assert(got == expected)
+  }
+
+  // ----- q202 KMV merge ---------------------------------------------------
+
+  test("q202 matches an imperative KMV; merged == direct; bottom-k is TakeOrdered") {
+    val docs = Tables.t(spark, TestSpark.Sf, "documents")
+      .select($"source", $"text").as[(String, String)].collect()
+    def shingles(t: String): Seq[String] = {
+      val ws = normText(t).split(" ").toSeq
+      if (ws.size < 3) Seq(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val st = docs.flatMap { case (src, t) => shingles(t).map((src, _)) }.distinct
+    val h48 = st.map { case (src, g) =>
+      (src, g, java.lang.Long.parseLong(md5hex(g).take(12), 16)) }
+    val k = 64
+    val direct = h48.map(x => (x._3, x._2)).distinct.sortBy(identity).take(k)
+    val merged = h48.groupBy(_._1).values
+      .flatMap(_.map(x => (x._3, x._2)).distinct.sortBy(identity).take(k))
+      .toSeq.distinct.sortBy(identity).take(k)
+    assert(direct.toSeq == merged.toSeq) // the mergeability identity, imperatively
+    val est = 63.0 * math.pow(2, 48) / direct.last._1
+    val expected = (20L, st.map(_._2).distinct.size.toLong, est, est)
+    val df = q("q202_kmv_merge")(spark, TestSpark.Sf)
+    val got = df.as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(expected))
+    // both bottom-k cuts are partial top-k merges, not global sorts
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   // ----- q199 b-bit minhash ---------------------------------------------
 
   test("q199 matches an imperative b-bit estimator; estimates bracket exact") {
