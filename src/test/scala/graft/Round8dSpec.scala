@@ -121,7 +121,7 @@ class Round8dSpec extends AnyFunSuite {
     def cos(qv: Array[Double], n2: Double, cv: Array[Double], cn2: Double): Double =
       dot(qv, cv) / math.sqrt(n2 * cn2)
     val old = qvecs.filter(_._1 % 2 == 0)
-    var cents = old.filter(_._1 % 100 == 0)
+    var cents = old.filter(p => p._1 % 100 == 0 && p._1 < 2000)
       .map { case (id, v, n2) => (id, v, n2) }
     for (_ <- 1 to 2) {
       val asg = old.map { case (id, v, n2) =>
