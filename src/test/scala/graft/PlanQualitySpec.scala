@@ -746,4 +746,47 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
       s"edge list not checkpointed (re-derives lineage every iteration):\n$plan")
   }
+
+  test("q255 advisor: run statistics windows partition by (cname, bkt), not cname alone") {
+    val df = SparkEntry.queries("q255_encoding_advisor")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the distributed form: every corpus-sized window keys on the bucket —
+    // a cname-only partitioning would drag all rows through 4 partitions
+    assert(plan.contains("hashpartitioning(cname") && plan.contains("bkt"),
+      s"bucketed window partitioning missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"advisor degenerated:\n$plan")
+  }
+
+  test("q251 bfs: frontier expansion is an equi-join over the checkpointed edges") {
+    val df = SparkEntry.queries("q251_multi_source_bfs")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"frontier expansion degenerated to a product:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      s"edge list / distance table not checkpointed:\n$plan")
+  }
+
+  test("q272 local clustering: wedge join and closure are equi-joins, corner explode present") {
+    val df = SparkEntry.queries("q272_local_clustering")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"wedge enumeration degenerated to a product:\n$plan")
+    assert(plan.contains("Generate"), s"triangle corner explode missing:\n$plan")
+    assert(plan.contains("LeftSemi"), s"closure not a semi-join:\n$plan")
+  }
+
+  test("q256 fastss: candidates come from a variant equi-join, never a cross product") {
+    val df = SparkEntry.queries("q256_fuzzy_join_fastss")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to |U|x|V|:\n$plan")
+    // the verify is the native codegen'd expression (executed-plan tree
+    // strings truncate long projects, so check the analyzed plan)
+    assert(df.queryExecution.analyzed.toString.contains("levenshtein"),
+      "native levenshtein verify missing from the plan")
+  }
 }
