@@ -43,13 +43,14 @@ object Round8abQueries {
     // contingency aggregate groupBy(bucket, label): all later joins and
     // scalars are |buckets|·|labels|-bounded (≤ 160 cells here), so the
     // evaluation costs one corpus pass regardless of corpus size.
-    // Arithmetic: pair counts and B³ cell terms are exact int64
-    // (valid while 2·C(n,2)·Σij·1e6 < 2^63, i.e. n ≲ 3e6 items per
-    // evaluated stratum — and label evaluation is annotation-bounded by
-    // nature); ARI's final ratio is mixed-sign, so it is the ONE double
-    // division, on a single row, from int64 num/den that stay exact in
-    // double while < 2^53 (floor semantics match across engines for
-    // doubles, unlike integer div vs // on negatives).
+    // Arithmetic: per-cell pair counts and B³ terms are exact int64
+    // (Σij·1e6 < 2^63 is annotation-bounded by nature), but the ARI
+    // num/den multiply three pair-count sums — C(n,2)·Σij and sa·sb
+    // reach ~n⁴/1000, past int64 around n ~ 1e5 per stratum — so both
+    // are accumulated in DECIMAL(38,0)/HUGEINT (exact to ~1.7e38, i.e.
+    // n ≲ 1e9 items) before the ONE double division, on a single row
+    // (floor semantics match across engines for doubles, unlike
+    // integer div vs // on negatives).
     ("q300_clustering_ari", (s: SparkSession, dir: String) => {
       import s.implicits._
       val e = Tables.spread(Tables.t(s, dir, "embeddings"))
@@ -78,8 +79,10 @@ object Round8abQueries {
         .crossJoin(broadcast(prec)).crossJoin(broadcast(rec))
         .select($"n".as("n_items"), $"n_pred", $"n_true",
           expr("""CAST(floor(
-              CAST(2 * (n * (n - 1) div 2) * ix - 2 * sa * sb AS DOUBLE)
-              / CAST((n * (n - 1) div 2) * (sa + sb) - 2 * sa * sb AS DOUBLE)
+              CAST(2 * (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2) * ix
+                   - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+              / CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) div 2) * (sa + sb)
+                   - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
               * 1000000 + 0.5) AS BIGINT)""").as("ari_micro"),
           expr("pp div n").as("b3_precision_micro"),
           expr("rr div n").as("b3_recall_micro"),
@@ -107,10 +110,10 @@ object Round8abQueries {
         FROM cells JOIN bj USING (lbl))
       SELECT tot.n AS n_items, sa.n_pred, sb.n_true,
         CAST(floor(
-          CAST(2 * (tot.n * (tot.n - 1) // 2) * tot.ix - 2 * sa.sa * sb.sb
-            AS DOUBLE)
-          / CAST((tot.n * (tot.n - 1) // 2) * (sa.sa + sb.sb)
-              - 2 * sa.sa * sb.sb AS DOUBLE)
+          CAST(2 * (CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2) * tot.ix
+              - 2 * CAST(sa.sa AS HUGEINT) * sb.sb AS DOUBLE)
+          / CAST((CAST(tot.n AS HUGEINT) * (tot.n - 1) // 2) * (sa.sa + sb.sb)
+              - 2 * CAST(sa.sa AS HUGEINT) * sb.sb AS DOUBLE)
           * 1000000 + 0.5) AS BIGINT) AS ari_micro,
         prec.pp // tot.n AS b3_precision_micro,
         rec.rr // tot.n AS b3_recall_micro,
@@ -167,7 +170,10 @@ object Round8abQueries {
     // form used here. Determinism: u = (h+1)/2^32 from md5, and the
     // key is the integer nano-ratio (lnm(2^32) − lnm(h+1)) · 1000
     // div w (separate micro-ln terms per the house rule; ties broken
-    // by doc_id). k = 40 per lang stratum. Scale shape: the
+    // by doc_id). Zero-weight docs are filtered out FIRST: in A-ES a
+    // w = 0 item has selection probability 0 (u^(1/w) → 0), and
+    // leaving it in would divide by zero — NULL in Spark, an error in
+    // DuckDB. k = 40 per lang stratum. Scale shape: the
     // filter(rk ≤ 40) sits DIRECTLY above the window, so it compiles
     // to WindowGroupLimit — each map task forwards at most 40 rows per
     // stratum and the shuffle carries O(k · partitions), not the
@@ -175,6 +181,7 @@ object Round8abQueries {
     ("q302_weighted_reservoir", (s: SparkSession, dir: String) => {
       import s.implicits._
       val keyed = Tables.spread(Tables.t(s, dir, "documents"))
+        .filter($"n_chars" > 0)
         .select($"lang", $"doc_id", $"n_chars".as("w"),
           conv(substring(md5(concat(lit("wrs|"), $"doc_id".cast("string"))),
             1, 8), 16, 10).cast("long").as("h"))
@@ -193,7 +200,7 @@ object Round8abQueries {
       WITH d AS (SELECT lang, doc_id, n_chars AS w,
           ('0x' || substr(md5('wrs|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
             AS h
-        FROM documents),
+        FROM documents WHERE n_chars > 0),
       k AS (SELECT lang, doc_id, w,
           (CAST(floor(ln(CAST(4294967296 AS DOUBLE)) * 1000000 + 0.5)
              AS BIGINT)

@@ -64,7 +64,11 @@ object Round8aeQueries {
     // max-Youden-J = recall − FPR (the ROC-corner choice). Precision/
     // recall/F1/J are floored micro integers (identical both engines);
     // argmax ties break toward the LOWER threshold (more recall at
-    // equal score). Two rank-1 windows over the grid, not the corpus.
+    // equal score). Degenerate single-class corpora (np = 0 or nn = 0)
+    // yield explicit NULL recall/J — Spark's div would NULL silently
+    // while DuckDB's // raises, so the CASE guard keeps the engines in
+    // agreement (tp + fp ≥ 1 holds by grid construction, so precision
+    // needs no guard). Two rank-1 windows over the grid, not the corpus.
     ("q309_operating_point", (s: SparkSession, dir: String) => {
       import s.implicits._
       val lab = scoredDocs(s, dir).select($"score", $"pos")
@@ -79,13 +83,16 @@ object Round8aeQueries {
         .crossJoin(broadcast(tot))
         .select($"score".as("thr"), $"tp", $"fp", $"np", $"nn",
           expr("1000000 * tp div (tp + fp)").as("prec_micro"),
-          expr("1000000 * tp div np").as("rec_micro"))
+          expr("CASE WHEN np = 0 THEN NULL ELSE 1000000 * tp div np END")
+            .as("rec_micro"))
         .select($"thr", $"tp", $"fp", $"np", $"nn", $"prec_micro",
           $"rec_micro",
           expr("""CASE WHEN prec_micro + rec_micro = 0 THEN 0
                   ELSE 2 * prec_micro * rec_micro
                        div (prec_micro + rec_micro) END""").as("f1_micro"),
-          expr("1000000 * tp div np - 1000000 * fp div nn").as("j_micro"))
+          expr("""CASE WHEN np = 0 OR nn = 0 THEN NULL
+                  ELSE 1000000 * tp div np - 1000000 * fp div nn END""")
+            .as("j_micro"))
         .localCheckpoint() // reused by both argmax windows
       val wf = Window.orderBy(desc("f1_micro"), $"thr")
       val wj = Window.orderBy(desc("j_micro"), $"thr")
@@ -110,16 +117,18 @@ object Round8aeQueries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS fp
         FROM lab GROUP BY score),
-      grid AS (SELECT thr, tp, fp, np, nn,
+      grid1 AS (SELECT thr, tp, fp, np, nn,
           1000000 * tp // (tp + fp) AS prec_micro,
-          1000000 * tp // np AS rec_micro,
-          CASE WHEN 1000000 * tp // (tp + fp) + 1000000 * tp // np = 0
-            THEN 0
-            ELSE 2 * (1000000 * tp // (tp + fp)) * (1000000 * tp // np)
-                 // (1000000 * tp // (tp + fp) + 1000000 * tp // np) END
-            AS f1_micro,
-          1000000 * tp // np - 1000000 * fp // nn AS j_micro
+          CASE WHEN np = 0 THEN NULL ELSE 1000000 * tp // np END
+            AS rec_micro
         FROM grid0 CROSS JOIN tot),
+      grid AS (SELECT thr, tp, fp, np, nn, prec_micro, rec_micro,
+          CASE WHEN prec_micro + rec_micro = 0 THEN 0
+            ELSE 2 * prec_micro * rec_micro
+                 // (prec_micro + rec_micro) END AS f1_micro,
+          CASE WHEN np = 0 OR nn = 0 THEN NULL
+            ELSE 1000000 * tp // np - 1000000 * fp // nn END AS j_micro
+        FROM grid1),
       bf AS (SELECT 'f1' AS criterion, thr, tp, fp, np - tp AS fn,
           prec_micro, rec_micro, f1_micro, j_micro,
           row_number() OVER (ORDER BY f1_micro DESC, thr) AS rn FROM grid),

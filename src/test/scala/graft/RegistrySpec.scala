@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Integrity gate for the SparkEntry registry itself — 46 operator
+  * files now feed it, and the oracle gate silently weakens if a name
+  * collides (later Map entry wins), drifts from the published
+  * CORRECTNESS artifact (a rename would erase a query's verification
+  * history), or ships without a SQL oracle (the driver then records
+  * only a rows>0 check).
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Rows-only entries (no DuckDB-expressible SQL form) must be listed
+    * here WITH the reason — every other query must carry an oracle.
+    * Currently empty: every one of the battery's queries, including
+    * the mapPartitions multimodal kernels (q69/q98), ships at least a
+    * SQL-expressible gate projection.
+    */
+  private val rowsOnlyAllowed: Map[String, String] = Map.empty
+
+  test("registry names are unique (no Map-collapse in the gate)") {
+    val (total, distinct) = SparkEntry.registrySize
+    assert(total == distinct,
+      s"registry has $total entries but only $distinct distinct names")
+  }
+
+  test("every query has a SQL oracle unless allow-listed with a reason") {
+    val noSql = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noSql == rowsOnlyAllowed.keySet,
+      s"rows-only entries drifted: unexpected=${(noSql -- rowsOnlyAllowed.keySet).toSeq.sorted} " +
+        s"stale-allowlist=${(rowsOnlyAllowed.keySet -- noSql).toSeq.sorted}")
+    assert(rowsOnlyAllowed.values.forall(_.trim.nonEmpty))
+  }
+
+  test("names follow the qNN_slug convention and numbers are unique") {
+    val pat = "^q[0-9]{2,3}_[a-z0-9_]+$".r
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    val bad = names.filterNot(n => pat.matches(n))
+    assert(bad.isEmpty, s"non-conforming names: $bad")
+    val nums = names.map(_.drop(1).takeWhile(_.isDigit).toInt)
+    val dup = nums.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dup.isEmpty, s"duplicate query numbers: ${dup.toSeq.sorted}")
+  }
+
+  test("registry keeps every name the last CORRECTNESS artifact verified") {
+    // a rename or deletion would silently erase a query's verification
+    // history; growth (new names beyond the artifact) is expected
+    val artifacts = new java.io.File("/root/repo").listFiles()
+      .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    assume(artifacts.nonEmpty)
+    val latest = artifacts.maxBy(_.getName)
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+    val published = "\"(q[0-9]+_[a-z0-9_]+)\"\\s*:\\s*\\{".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    val lost = published -- SparkEntry.queries.keySet
+    assert(lost.isEmpty,
+      s"registry lost queries verified in ${latest.getName}: ${lost.toSeq.sorted}")
+  }
+}

@@ -63,9 +63,14 @@ class Round8agSpec extends AnyFunSuite {
         lit("1970-01-01").cast("date")).cast("long").as("epd"), $"user_id")
       .as[(Long, Long)].collect().toSeq.distinct
     val mn = du.map(_._1).min; val mx = du.map(_._1).max
-    val expected = (mn + 6 to mx).map { end =>
-      (end, du.filter(p => p._1 >= end - 6 && p._1 <= end)
-        .map(_._2).distinct.size.toLong)
+    // Windows whose whole 7-day span has no day-user pairs produce no
+    // row in either engine (no grid spine), so the replay only expects
+    // windows with at least one contributing pair — a gap in the
+    // events day grid must not fail the spec when the engines agree.
+    val expected = (mn + 6 to mx).flatMap { end =>
+      val w = du.filter(p => p._1 >= end - 6 && p._1 <= end)
+        .map(_._2).distinct.size.toLong
+      if (w > 0) Some((end, w)) else None
     }
     val got = q("q317_sliding_distinct_users")(spark, TestSpark.Sf)
       .as[(Long, Long)].collect().toSeq.sortBy(_._1)
