@@ -1,0 +1,240 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ext.{TextAnalysis => TA}
+
+/** Round-9 batch 2: single-pass column profiling (the Deequ-style
+  * completeness/distinctness/min-max audit every ingestion pipeline
+  * runs before trusting a table), median/MAD robust outlier detection
+  * (the heavy-tail-safe alternative to the q178-era mean/σ z-score),
+  * and frequent-items sketch capacity planning (which counter budget k
+  * GUARANTEES the true top-10 survives any Misra–Gries/space-saving
+  * merge — the capacity-side companion to q155's count-min error and
+  * q311's collision audit).
+  *
+  * House rules as elsewhere: integer arithmetic at every gate (money
+  * as cents, dates as epoch days), identical aliases both sides, total
+  * ORDER BY.
+  */
+object Round9bQueries {
+
+  private val normSql = TA.normTextSql
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  def queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- single-pass column profile -------------------------------------
+    // The first query a pipeline runs against a NEW table: per-column
+    // row count, null count, exact distinct count, completeness ratio,
+    // and min/max — the facts partitioning, dedup keys, and join
+    // planning all start from (q165's join-size forecast consumes
+    // exactly the distinct counts). One aggregate pass over lineitem
+    // computes all five columns' metrics at once (Spark compiles the
+    // multi-distinct into ONE Expand ×5 pass — the documented cost of
+    // exact multi-column distinctness; the sketch alternative is q53's
+    // KMV when approximate suffices). Each column is first mapped to a
+    // deterministic integer/string domain (cents, epoch days — the
+    // house money/date rules), so min/max stringify identically in
+    // both engines; the transforms are injective, so distinct counts
+    // equal the raw columns'. The single-row aggregate is then
+    // unpivoted driver-side into one row per column.
+    ("q322_column_profile", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val p = Tables.t(s, dir, "lineitem").select(
+        $"l_orderkey".as("c1"),
+        expr("CAST(l_quantity AS BIGINT)").as("c2"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("c3"),
+        $"l_returnflag".as("c4"),
+        datediff(to_date($"l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("c5"))
+      val a = p.agg(
+        count(lit(1)).as("n"),
+        countDistinct($"c1").as("d1"),
+        sum(when($"c1".isNull, 1L).otherwise(0L)).as("x1"),
+        min($"c1").cast("string").as("mn1"), max($"c1").cast("string").as("mx1"),
+        countDistinct($"c2").as("d2"),
+        sum(when($"c2".isNull, 1L).otherwise(0L)).as("x2"),
+        min($"c2").cast("string").as("mn2"), max($"c2").cast("string").as("mx2"),
+        countDistinct($"c3").as("d3"),
+        sum(when($"c3".isNull, 1L).otherwise(0L)).as("x3"),
+        min($"c3").cast("string").as("mn3"), max($"c3").cast("string").as("mx3"),
+        countDistinct($"c4").as("d4"),
+        sum(when($"c4".isNull, 1L).otherwise(0L)).as("x4"),
+        min($"c4").cast("string").as("mn4"), max($"c4").cast("string").as("mx4"),
+        countDistinct($"c5").as("d5"),
+        sum(when($"c5".isNull, 1L).otherwise(0L)).as("x5"),
+        min($"c5").cast("string").as("mn5"), max($"c5").cast("string").as("mx5"))
+        .localCheckpoint() // one row; reused by the 5-way unpivot
+      def row(name: String, i: Int) = a.select(
+        lit(name).as("col_name"), $"n".as("n_rows"),
+        col(s"d$i").as("n_distinct"), col(s"x$i").as("n_null"),
+        expr(s"1000000 * (n - x$i) div n").as("completeness_micro"),
+        col(s"mn$i").as("min_val"), col(s"mx$i").as("max_val"))
+      row("l_orderkey", 1).unionByName(row("l_quantity_int", 2))
+        .unionByName(row("l_extendedprice_cents", 3))
+        .unionByName(row("l_returnflag", 4))
+        .unionByName(row("l_shipdate_epd", 5))
+        .orderBy($"col_name")
+    }, Some("""
+      WITH p AS (SELECT l_orderkey AS c1,
+          CAST(l_quantity AS BIGINT) AS c2,
+          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c3,
+          l_returnflag AS c4,
+          CAST(date_diff('day', DATE '1970-01-01',
+            CAST(l_shipdate AS DATE)) AS BIGINT) AS c5
+        FROM lineitem),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT c1) AS BIGINT) AS d1,
+          CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+          CAST(min(c1) AS VARCHAR) AS mn1, CAST(max(c1) AS VARCHAR) AS mx1,
+          CAST(count(DISTINCT c2) AS BIGINT) AS d2,
+          CAST(sum(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+          CAST(min(c2) AS VARCHAR) AS mn2, CAST(max(c2) AS VARCHAR) AS mx2,
+          CAST(count(DISTINCT c3) AS BIGINT) AS d3,
+          CAST(sum(CASE WHEN c3 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x3,
+          CAST(min(c3) AS VARCHAR) AS mn3, CAST(max(c3) AS VARCHAR) AS mx3,
+          CAST(count(DISTINCT c4) AS BIGINT) AS d4,
+          CAST(sum(CASE WHEN c4 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x4,
+          CAST(min(c4) AS VARCHAR) AS mn4, CAST(max(c4) AS VARCHAR) AS mx4,
+          CAST(count(DISTINCT c5) AS BIGINT) AS d5,
+          CAST(sum(CASE WHEN c5 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x5,
+          CAST(min(c5) AS VARCHAR) AS mn5, CAST(max(c5) AS VARCHAR) AS mx5
+        FROM p)
+      SELECT col_name, n_rows, n_distinct, n_null,
+        1000000 * (n_rows - n_null) // n_rows AS completeness_micro,
+        min_val, max_val
+      FROM (
+        SELECT 'l_orderkey' AS col_name, n AS n_rows, d1 AS n_distinct,
+          x1 AS n_null, mn1 AS min_val, mx1 AS max_val FROM a
+        UNION ALL SELECT 'l_quantity_int', n, d2, x2, mn2, mx2 FROM a
+        UNION ALL SELECT 'l_extendedprice_cents', n, d3, x3, mn3, mx3 FROM a
+        UNION ALL SELECT 'l_returnflag', n, d4, x4, mn4, mx4 FROM a
+        UNION ALL SELECT 'l_shipdate_epd', n, d5, x5, mn5, mx5 FROM a)
+      ORDER BY col_name""")),
+
+    // ----- median/MAD robust outlier detection ----------------------------
+    // Mean/σ outlier rules break exactly when needed most: one extreme
+    // value inflates σ until nothing is an outlier (masking). The
+    // robust rule — flag |x − median| > 3 · 1.4826 · MAD — has a 50%
+    // breakdown point. Everything runs on the o_totalprice CENTS grid:
+    // value-grid cumulative windows (the q195/q276 documented bound —
+    // the window is over DISTINCT values, not rows), lower-median
+    // convention rank = (n+1) div 2 for engine-identical medians, and
+    // the 1.4826 consistency constant as the integer comparison
+    // dev · 10000 > 3 · 14826 · mad, so no doubles anywhere.
+    ("q323_mad_outliers", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = Tables.t(s, dir, "orders")
+        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"))
+        .localCheckpoint() // reused: median grid + deviation grid + flags
+      val n = c.agg(count(lit(1)).as("n"))
+      val wv = Window.orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = c.groupBy($"v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wv))
+        .crossJoin(broadcast(n))
+        .filter($"cum" >= expr("(n + 1) div 2"))
+        .agg(min($"v").as("med"))
+      val dev = c.crossJoin(broadcast(med))
+        .select(abs($"v" - $"med").as("d"), $"med")
+      val wd = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mad = dev.groupBy($"d").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum($"cnt").over(wd))
+        .crossJoin(broadcast(n))
+        .filter($"cum" >= expr("(n + 1) div 2"))
+        .agg(min($"d").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .crossJoin(broadcast(n))
+        .agg(max($"n").as("n_rows"), max($"med").as("med_cents"),
+          max($"mad").as("mad_cents"),
+          sum(when(expr("d * 10000 > 3 * 14826 * mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          max($"d").as("max_dev_cents"))
+        .select($"n_rows", $"med_cents", $"mad_cents", $"n_outliers",
+          expr("1000000 * n_outliers div n_rows").as("outlier_share_micro"),
+          $"max_dev_cents")
+    }, Some("""
+      WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        FROM orders),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      medg AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(count(*)) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM c GROUP BY v),
+      med AS (SELECT min(v) AS med FROM medg CROSS JOIN n
+        WHERE cum >= (n + 1) // 2),
+      dev AS (SELECT abs(v - med) AS d, med FROM c CROSS JOIN med),
+      madg AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(count(*)) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+        FROM dev GROUP BY d),
+      mad AS (SELECT min(d) AS mad FROM madg CROSS JOIN n
+        WHERE cum >= (n + 1) // 2)
+      SELECT max(n.n) AS n_rows, max(dev.med) AS med_cents,
+        max(mad.mad) AS mad_cents,
+        CAST(sum(CASE WHEN dev.d * 10000 > 3 * 14826 * mad.mad
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        1000000 * CAST(sum(CASE WHEN dev.d * 10000 > 3 * 14826 * mad.mad
+          THEN 1 ELSE 0 END) AS BIGINT) // max(n.n) AS outlier_share_micro,
+        max(dev.d) AS max_dev_cents
+      FROM dev CROSS JOIN mad CROSS JOIN n""")),
+
+    // ----- frequent-items sketch capacity planning ------------------------
+    // Misra–Gries / space-saving with k counters guarantees (merge-
+    // order independent) that any item with frequency f > N/(k+1)
+    // survives the sketch — the contrapositive of the count bound.
+    // This turns the guarantee into a capacity plan over the corpus
+    // vocabulary: for each counter budget k in a 5-point grid, the
+    // guarantee threshold N div (k+1), how many types clear it, and
+    // how many of the TRUE top-10 types (frequency desc, token asc —
+    // total order) are guaranteed captured. The smallest k whose
+    // top10_guaranteed reads 10 is the budget to ship. One tokenize
+    // pass → vocab-bounded counts; the top-10 rank is one window over
+    // the VOCAB grid (the documented q195-class bound), the k-grid a
+    // 5-row broadcast.
+    ("q324_sketch_capacity", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val f = Tables.spread(Tables.t(s, dir, "documents"))
+        .select(explode(split(TA.normText($"text"), " ")).as("tok"))
+        .filter($"tok" =!= "")
+        .groupBy($"tok").agg(count(lit(1)).as("f"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("f"), $"tok")))
+        .localCheckpoint() // reused per k-grid row
+      val tot = f.agg(sum($"f").as("nn"))
+      val ks = Seq(8L, 16L, 32L, 64L, 128L).map(Tuple1(_)).toDF("k")
+      f.crossJoin(broadcast(ks)).crossJoin(broadcast(tot))
+        .groupBy($"k")
+        .agg(max(expr("nn div (k + 1)")).as("thr"),
+          sum(when(expr("f > nn div (k + 1)"), 1L).otherwise(0L))
+            .as("n_guaranteed"),
+          sum(when(expr("rn <= 10 AND f > nn div (k + 1)"), 1L)
+            .otherwise(0L)).as("top10_guaranteed"))
+        .orderBy($"k")
+    }, Some(s"""
+      WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS f,
+          CAST(row_number() OVER (ORDER BY count(*) DESC, tok) AS BIGINT)
+            AS rn
+        FROM (SELECT unnest(string_split($normSql, ' ')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY tok),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS nn FROM f),
+      ks AS (SELECT CAST(k AS BIGINT) AS k
+        FROM (SELECT unnest([8, 16, 32, 64, 128]) AS k))
+      SELECT k, max(nn // (k + 1)) AS thr,
+        CAST(sum(CASE WHEN f > nn // (k + 1) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_guaranteed,
+        CAST(sum(CASE WHEN rn <= 10 AND f > nn // (k + 1) THEN 1 ELSE 0 END)
+          AS BIGINT) AS top10_guaranteed
+      FROM f CROSS JOIN ks CROSS JOIN tot
+      GROUP BY k ORDER BY k"""))
+  )
+}
