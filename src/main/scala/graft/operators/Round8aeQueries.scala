@@ -24,8 +24,9 @@ object Round8aeQueries {
 
   private val normSql = TA.normTextSql
 
-  /** The battery's shared hashed-token document score (q297's form). */
-  private def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+  /** The battery's shared hashed-token document score (q297's form);
+    * reused by q329's label-noise estimate. */
+  private[operators] def scoredDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.spread(Tables.t(s, dir, "documents"))
       .select($"doc_id", $"n_chars",
@@ -39,7 +40,7 @@ object Round8aeQueries {
       .withColumn("pos", ($"nc" >= 250).cast("long"))
   }
 
-  private val scoredSql = s"""
+  private[operators] val scoredSql = s"""
       st AS (SELECT doc_id, n_chars,
           unnest(string_split($normSql, ' ')) AS tok FROM documents),
       sc AS (SELECT doc_id, max(n_chars) AS nc,
