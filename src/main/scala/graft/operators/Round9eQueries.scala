@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{TextAnalysis => TA}
 
-/** Round-9 batch 5: equi-depth range-partition planning (the boundary
-  * table a sorted write or range shuffle needs, with the tie-skew it
-  * actually produces), Kaplan–Meier time-to-conversion (the censoring-
-  * aware survival read naive "average days to purchase" gets wrong),
-  * and the inverted-index delta-encoding budget (what the postings
-  * lists cost on disk before building them).
+/** Round-9 batch 5: the sampled range-partitioner audit (how much
+  * partition imbalance does boundary SAMPLING — what Spark's
+  * RangePartitioner actually does — cost vs the exact equi-depth
+  * floor), Kaplan–Meier time-to-conversion (the censoring-aware
+  * survival read naive "average days to purchase" gets wrong), and
+  * the inverted-index delta-encoding budget (what the postings lists
+  * cost on disk before building them).
   *
   * House rules as elsewhere: integer arithmetic at every gate —
   * including exact bit lengths via length(bin(x)), identical in both
@@ -26,56 +27,108 @@ object Round9eQueries {
 
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
-    // ----- equi-depth range-partition planner ------------------------------
-    // Range partitioning (sorted writes, z-order prep, range shuffles)
-    // needs boundary values splitting the key into P ≈ equal-depth
-    // parts — and the honest plan must show where TIES break the
-    // equality, because every copy of one value lands in one
-    // partition. Partition id of a value = (rows strictly BELOW the
-    // value) · P div n, computed on the distinct-value cumulative grid
-    // (the q195 documented bound), so all duplicates co-locate and the
-    // skew is measured, not hidden. Output per partition: its boundary
-    // (lowest value), row count, distinct keys, share, and the
-    // per-partition overfill vs the ideal n/P read directly as
-    // skew_micro (AQE's split threshold consumes exactly this).
-    ("q331_range_partition_plan", (s: SparkSession, dir: String) => {
+    // ----- sampled range-partitioner audit ----------------------------------
+    // A range shuffle at 100 TB never computes exact quantile
+    // boundaries — it SAMPLES keys and cuts the sample (Spark's
+    // RangePartitioner); q217 owns the exact equi-depth statistic.
+    // The question that design leaves open is WHAT THE SAMPLING
+    // COSTS: for sample rates 1% / 5% / 10% / 100%, cut 31 boundaries
+    // from the md5-deterministic sample (boundary p = smallest sample
+    // value with 32·cum ≥ p·n_s), assign the FULL corpus, and report
+    // the worst partition's overfill vs the ideal n/32 — the number
+    // that decides whether a rate suffices or AQE must re-split. The
+    // 100% row is the exact-boundary floor (whole-value ties are the
+    // residual skew even there). Shapes: sample grids and corpus grid
+    // are distinct-value-bounded; assignment is ONE cumulative count
+    // of interleaved boundary markers per rate (boundaries sort before
+    // equal values: pid = #boundaries ≤ v) — no per-row boundary
+    // search, no crossJoin against the corpus.
+    ("q331_sampled_range_partitioner", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val P = 32L
       val c = Tables.t(s, dir, "orders")
-        .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"))
-      val n = c.agg(count(lit(1)).as("n"))
-      val wv = Window.orderBy($"v")
+        .select($"o_orderkey".as("k"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("v"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("rp|"), $"k".cast("string"))),
+            1, 8), 16, 10).cast("long") % 100)
+        .localCheckpoint() // reused: 4 sample grids + the corpus grid
+      val rates = Seq(1L, 5L, 10L, 100L).map(Tuple1(_)).toDF("r")
+      val samp = c.crossJoin(broadcast(rates)).filter($"h" < $"r")
+        .groupBy($"r", $"v").agg(count(lit(1)).as("scnt"))
+      val ws = Window.partitionBy($"r").orderBy($"v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.groupBy($"v").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum($"cnt").over(wv))
+      val wtot = Window.partitionBy($"r")
+      val sg = samp.withColumn("cum", sum($"scnt").over(ws))
+        .withColumn("ns", sum($"scnt").over(wtot))
+      val bnd = sg
+        .withColumn("plo", expr("least(31, 32 * (cum - scnt) div ns)"))
+        .withColumn("phi", expr("least(31, 32 * cum div ns)"))
+        .filter($"phi" > $"plo")
+        .select($"r", $"v", explode(expr("sequence(plo + 1, phi)")).as("p"))
+      val grid = c.groupBy($"v").agg(count(lit(1)).as("cnt"))
+      val lanes = grid.crossJoin(broadcast(rates))
+        .select($"r", $"v", $"cnt", lit(0L).as("isb"))
+        .unionByName(bnd.select($"r", $"v", lit(0L).as("cnt"),
+          lit(1L).as("isb")))
+      val wl = Window.partitionBy($"r").orderBy($"v", desc("isb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val assigned = lanes.withColumn("pid", sum($"isb").over(wl))
+        .filter($"isb" === 0)
+        .groupBy($"r", $"pid").agg(sum($"cnt").as("pn"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val nsamp = samp.groupBy($"r").agg(sum($"scnt").as("n_sample"))
+      assigned.groupBy($"r")
+        .agg(max($"pn").as("max_part_rows"),
+          count(lit(1)).as("n_parts_used"))
+        .join(broadcast(nsamp), Seq("r"))
         .crossJoin(broadcast(n))
-        .select($"v", $"cnt",
-          expr(s"(cum - cnt) * $P div n").as("pid"), $"n")
-        .groupBy($"pid")
-        .agg(min($"v").as("boundary_lo"), sum($"cnt").as("n_rows"),
-          count(lit(1)).as("n_distinct"), max($"n").as("nt"))
-        .select($"pid", $"boundary_lo", $"n_rows", $"n_distinct",
-          expr("1000000 * n_rows div nt").as("share_micro"),
-          expr(s"1000000 * n_rows * $P div nt - 1000000").as("skew_micro"))
-        .orderBy($"pid")
+        .select($"r".as("sample_pct"), $"n_sample", $"n_parts_used",
+          $"max_part_rows",
+          expr("1000000 * max_part_rows * 32 div n - 1000000")
+            .as("overfill_micro"))
+        .orderBy($"sample_pct")
     }, Some("""
-      WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      WITH c AS (SELECT o_orderkey AS k,
+          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+          ('0x' || substr(md5('rp|' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+            ::BIGINT % 100 AS h
         FROM orders),
-      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
-      g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
-          CAST(sum(count(*)) OVER (ORDER BY v
+      rates AS (SELECT CAST(r AS BIGINT) AS r
+        FROM (SELECT unnest([1, 5, 10, 100]) AS r)),
+      samp AS (SELECT r, v, CAST(count(*) AS BIGINT) AS scnt
+        FROM c CROSS JOIN rates WHERE h < r GROUP BY 1, 2),
+      sg AS (SELECT r, v, scnt,
+          CAST(sum(scnt) OVER (PARTITION BY r ORDER BY v
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-            AS cum
-        FROM c GROUP BY v),
-      a AS (SELECT v, cnt, (cum - cnt) * 32 // n AS pid, n
-        FROM g CROSS JOIN n)
-      SELECT pid, min(v) AS boundary_lo,
-        CAST(sum(cnt) AS BIGINT) AS n_rows,
-        CAST(count(*) AS BIGINT) AS n_distinct,
-        1000000 * CAST(sum(cnt) AS BIGINT) // max(n) AS share_micro,
-        1000000 * CAST(sum(cnt) AS BIGINT) * 32 // max(n) - 1000000
-          AS skew_micro
-      FROM a GROUP BY pid ORDER BY pid""")),
+            AS cum,
+          CAST(sum(scnt) OVER (PARTITION BY r) AS BIGINT) AS ns
+        FROM samp),
+      bnd AS (SELECT r, v,
+          CAST(unnest(range(least(31, 32 * (cum - scnt) // ns) + 1,
+            least(31, 32 * cum // ns) + 1)) AS BIGINT) AS p
+        FROM sg WHERE least(31, 32 * cum // ns)
+          > least(31, 32 * (cum - scnt) // ns)),
+      grid AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY v),
+      lanes AS (SELECT r, v, cnt, CAST(0 AS BIGINT) AS isb
+          FROM grid CROSS JOIN rates
+        UNION ALL SELECT r, v, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+          FROM bnd),
+      assigned AS (SELECT r, pid, CAST(sum(cnt) AS BIGINT) AS pn FROM
+        (SELECT r, cnt, isb,
+            CAST(sum(isb) OVER (PARTITION BY r ORDER BY v, isb DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS pid
+          FROM lanes)
+        WHERE isb = 0 GROUP BY 1, 2),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+      nsamp AS (SELECT r, CAST(sum(scnt) AS BIGINT) AS n_sample
+        FROM samp GROUP BY 1)
+      SELECT a.r AS sample_pct, nsamp.n_sample,
+        CAST(count(*) AS BIGINT) AS n_parts_used,
+        max(a.pn) AS max_part_rows,
+        1000000 * max(a.pn) * 32 // max(n.n) - 1000000 AS overfill_micro
+      FROM assigned a JOIN nsamp ON a.r = nsamp.r CROSS JOIN n
+      GROUP BY a.r, nsamp.n_sample ORDER BY sample_pct""")),
 
     // ----- Kaplan–Meier time-to-conversion ---------------------------------
     // "Average days from signup to purchase" silently drops every user

@@ -212,20 +212,21 @@ object Round9fQueries {
             AS BIGINT) END AS weight_micro
       FROM rows_ ORDER BY field""")),
 
-    // ----- per-document bigram LM perplexity filter -----------------------
-    // The CCNet-style gate: score every document's cross-entropy under
-    // an add-one-smoothed corpus BIGRAM model; repetitive or
-    // formulaic documents read low, lexical soup reads high, and both
-    // tails are curation candidates. Model = corpus bigram counts
-    // c(a,b) and history totals c(a,·), smoothed by the unigram
-    // vocabulary V: p(b|a) = (c(a,b)+1)/(c(a,·)+V) — every doc bigram
-    // is IN the model by construction (the model was trained on the
-    // corpus), so the left-join floor never fires here but is kept for
-    // the incremental-scoring shape, where new docs carry unseen
-    // bigrams. Per-doc H = Σ (lnm(ca+V) − lnm(cab+1)) div n_bigrams —
-    // micro-ln per factor. Shapes: bigrams via one lag window
-    // partitioned by doc; model joins are token-keyed aggregates;
-    // verdict column compares to the corpus mean H (integer div).
+    // ----- per-document SMOOTHED bigram perplexity filter -----------------
+    // q124 scores documents under the corpus's MLE bigram model — a
+    // score that is UNDEFINED for any document the model has not seen
+    // (an unseen bigram has p = 0), so it cannot gate NEW data. This
+    // is the deployable CCNet-style form: add-one smoothing by the
+    // unigram vocabulary V, p(b|a) = (c(a,b)+1)/(c(a,·)+V), makes
+    // every score finite, and the left-join floor (coalesce to 0
+    // counts) is exactly where a fresh document's unseen bigrams land
+    // when the frozen model scores an incoming batch. On the training
+    // corpus itself the floor never fires — the incremental shape is
+    // the point. Per-doc H = Σ (lnm(ca+V) − lnm(cab+1)) div n_bigrams
+    // — micro-ln per factor — plus the keep verdict vs the corpus mean
+    // (integer div), which q124 stops short of. Shapes: bigrams via
+    // one lag window partitioned by doc; model joins are token-keyed
+    // aggregates.
     ("q336_doc_perplexity", (s: SparkSession, dir: String) => {
       import s.implicits._
       val toks = Tables.spread(Tables.t(s, dir, "documents"))

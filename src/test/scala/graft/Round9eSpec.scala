@@ -20,29 +20,44 @@ class Round9eSpec extends AnyFunSuite {
   private def normText(s: String): String =
     s.toLowerCase.replaceAll("[^a-z0-9\\s]", "").replaceAll("\\s+", " ").trim
 
-  test("q331 equals an imperative equi-depth plan; counts cover n exactly") {
-    val vs = Tables.t(spark, TestSpark.Sf, "orders")
-      .select($"o_totalprice").as[Double].collect().toSeq
-      .map(x => math.floor(x * 100 + 0.5).toLong)
-    val n = vs.size.toLong
-    val grid = vs.groupBy(identity).view.mapValues(_.size.toLong)
-      .toSeq.sortBy(_._1)
-    var below = 0L
-    val assigned = grid.map { case (v, cnt) =>
-      val pid = below * 32 / n; below += cnt; (pid, v, cnt)
+  test("q331 equals an imperative sampled-partitioner replay") {
+    val rows = Tables.t(spark, TestSpark.Sf, "orders")
+      .select($"o_orderkey", $"o_totalprice").as[(Long, Double)]
+      .collect().toSeq
+      .map { case (k, x) => (k, math.floor(x * 100 + 0.5).toLong) }
+    val n = rows.size.toLong
+    def h(k: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp|$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % 100
     }
-    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (pid, g) =>
-        val rows = g.map(_._3).sum
-        (pid, g.map(_._2).min, rows, g.size.toLong,
-          1000000L * rows / n, 1000000L * rows * 32 / n - 1000000L)
-      }
-    val got = q("q331_range_partition_plan")(spark, TestSpark.Sf)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val gridAll = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val expected = Seq(1L, 5L, 10L, 100L).map { r =>
+      val samp = rows.filter(rc => h(rc._1) < r).map(_._2)
+      val ns = samp.size.toLong
+      val sgrid = samp.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val bnds = sgrid.flatMap { case (v, cnt) =>
+        val plo = math.min(31L, 32 * cum / ns); cum += cnt
+        val phi = math.min(31L, 32 * cum / ns)
+        if (phi > plo) Seq(v) ++ Seq.fill((phi - plo - 1).toInt)(v) else Nil
+      } // boundary value repeated once per p it serves
+      val parts = gridAll.groupBy { case (v, _) =>
+        bnds.count(_ <= v) }.view.mapValues(_.map(_._2).sum)
+      val maxP = parts.values.max
+      (r, ns, parts.size.toLong, maxP, 1000000L * maxP * 32 / n - 1000000L)
+    }
+    val got = q("q331_sampled_range_partitioner")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == expected)
-    assert(got.map(_._3).sum == n) // partitions cover every row once
-    // boundaries strictly increase with pid
-    assert(got.sliding(2).forall(w => w.head._2 < w.last._2))
+    // the exact-boundary floor: sampling can only match or worsen the
+    // worst partition at this corpus (spec-observed, replay-backed)
+    val byR = got.map(r => r._1 -> r._5).toMap
+    assert(byR(100L) <= byR(1L) && byR(100L) <= byR(5L)
+      && byR(100L) <= byR(10L))
+    assert(got.forall(_._5 >= 0L))
   }
 
   test("q332 equals an imperative KM replay with explicit censoring") {
