@@ -89,10 +89,12 @@ object Round9dQueries {
           AS rr_micro
       FROM cand CROSS JOIN truth""")),
 
-    // ----- confident-learning label noise estimate ------------------------
+    // ----- confident-learning label noise estimate (score-space) ----------
     // q309 picks the best threshold ASSUMING the labels; confident
     // learning asks the opposite: which labels does the scorer itself
-    // confidently contradict? Per-class confident thresholds are the
+    // confidently contradict? (q187 runs the FEATURE-space version of
+    // this screen — kNN label agreement over embeddings; this is the
+    // score-space sibling, which needs no vectors and no pair scan.) Per-class confident thresholds are the
     // class-mean scores (t_pos = mean score of labeled-positives,
     // t_neg of labeled-negatives — integer div means, truncation
     // identical both engines); a labeled-positive scoring BELOW the
@@ -156,11 +158,13 @@ object Round9dQueries {
       FROM lab CROSS JOIN th""")),
 
     // ----- exact cross-source vocabulary overlap matrix -------------------
-    // Which sources are mirrors of each other? q301 prices per-token
-    // redundancy; this reads it PAIRWISE and exactly: per source-pair
-    // Jaccard |A∩B| / |A∪B| and containment |A∩B| / min(|A|,|B|) over
-    // distinct vocabularies (containment catches the subset-mirror
-    // case Jaccard dilutes). Shape: one distinct (source, token)
+    // Which sources are mirrors of each other? q194 ESTIMATES this
+    // matrix from 8-permutation minhash signatures; this is its exact
+    // ground truth — per source-pair Jaccard |A∩B| / |A∪B| — plus the
+    // containment |A∩B| / min(|A|,|B|) the signature form cannot give
+    // (containment catches the subset-mirror case Jaccard dilutes,
+    // and it is the audit that says how far q194's 8 permutations
+    // drift). Shape: one distinct (source, token)
     // aggregate, an equi-join on the TOKEN for intersections (each
     // token fans at most |sources|² — bounded by the source roster,
     // not the corpus), a broadcast of the |sources| size table. The

@@ -10,18 +10,17 @@ import graft.ext.{TextAnalysis => TA}
 /** Round-9 batch 5: the sampled range-partitioner audit (how much
   * partition imbalance does boundary SAMPLING — what Spark's
   * RangePartitioner actually does — cost vs the exact equi-depth
-  * floor), Kaplan–Meier time-to-conversion (the censoring-aware
-  * survival read naive "average days to purchase" gets wrong), and
-  * the inverted-index delta-encoding budget (what the postings lists
-  * cost on disk before building them).
+  * floor q217 owns), and the log-rank test (the two-group survival
+  * comparison q265's single product-limit curve cannot run).
   *
-  * House rules as elsewhere: integer arithmetic at every gate —
-  * including exact bit lengths via length(bin(x)), identical in both
-  * engines — identical aliases both sides, total ORDER BY.
+  * (This batch shipped with a per-doc Kaplan–Meier and a postings
+  * budget in its first draft; both duplicated existing operators —
+  * q265 and q278 — and were removed in the round-9 dedup audit.)
+  *
+  * House rules as elsewhere: integer arithmetic at every gate,
+  * identical aliases both sides, total ORDER BY.
   */
 object Round9eQueries {
-
-  private val normSql = TA.normTextSql
 
   type QFn = (SparkSession, String) => DataFrame
 
@@ -130,20 +129,22 @@ object Round9eQueries {
       FROM assigned a JOIN nsamp ON a.r = nsamp.r CROSS JOIN n
       GROUP BY a.r, nsamp.n_sample ORDER BY sample_pct""")),
 
-    // ----- Kaplan–Meier time-to-conversion ---------------------------------
-    // "Average days from signup to purchase" silently drops every user
-    // who has not converted YET — survival analysis keeps them as
-    // right-censored at the end of observation. Cohort = users with a
-    // signup; event day = first purchase strictly after it (the q325
-    // strict rule); censor day = last observed day. Per event day t:
-    // at-risk n_t (event-or-censor day ≥ t), events d_t, hazard
-    // d_t/n_t, and the KM survival carried as the CUMULATIVE MICRO-LN
-    // Σ ln(1 − d/n) = Σ (lnm(n−d) − lnm(n)) — the product-limit
-    // estimator in the battery's exact-integer log domain (S(t) =
-    // exp(cum/1e6); the ln floors once per factor, the documented
-    // micro-ln rule). Shapes: two user-keyed aggregates, a day-grid
-    // suffix-cumulative window (grid-bounded), and one prefix window.
-    ("q332_kaplan_meier", (s: SparkSession, dir: String) => {
+    // ----- log-rank test: two-group survival comparison ---------------------
+    // q265 ESTIMATES one survival curve (product-limit in micro-ln);
+    // the question it cannot answer is whether two cohorts' curves
+    // DIFFER. The log-rank test does, censoring-aware: cohort = users
+    // with a signup, duration = days to first purchase strictly after
+    // it (the q89 strict-order rule), censored at the horizon; early
+    // vs late signups (signup epoch-day ≤ midpoint of the signup-day
+    // range — a fixed, SF-stable split). At each event day the
+    // early group's expected events under H₀ are d·n_A/n from the
+    // at-risk suffix sums; U = Σ(o_A − e_A) and the hypergeometric
+    // variance V = Σ d(n−d)n_A n_B / (n²(n−1)) accumulate in micro
+    // with 128-bit cross-products, and z = U/√V is the ONE sqrt on the
+    // single output row (q295's rule; degenerate n ≤ 1 days contribute
+    // 0, V = 0 yields NULL). Shapes: user-keyed aggregates, a day-grid
+    // suffix window per group — grid-bounded, the q265 discipline.
+    ("q332_logrank_test", (s: SparkSession, dir: String) => {
       import s.implicits._
       val raw = Tables.t(s, dir, "events")
       val tus = raw.schema("ts").dataType.typeName match {
@@ -154,118 +155,115 @@ object Round9eQueries {
         tus.as("tm")).localCheckpoint() // reused: cohort, events, horizon
       val s1 = e.filter($"et" === "signup").groupBy($"u")
         .agg(min($"tm").as("t1"))
-      val ev = e.filter($"et" === "purchase").join(s1, Seq("u"))
+        .withColumn("sd", expr("t1 div 86400000000"))
+      val mid = s1.agg(expr("(min(sd) + max(sd)) div 2").as("mid"))
+      val ev = e.filter($"et" === "purchase").join(s1.select($"u", $"t1"),
+          Seq("u"))
         .filter($"tm" > $"t1").groupBy($"u").agg(min($"tm").as("tp"))
       val hor = e.agg(max($"tm").as("th"))
-      val uu = s1.join(ev, Seq("u"), "left").crossJoin(broadcast(hor))
+      val uu = s1.join(ev, Seq("u"), "left")
+        .crossJoin(broadcast(hor)).crossJoin(broadcast(mid))
         .select($"u",
+          when($"sd" <= $"mid", lit("early")).otherwise(lit("late")).as("g"),
           when($"tp".isNotNull, lit(1L)).otherwise(lit(0L)).as("is_event"),
           when($"tp".isNotNull, expr("(tp - t1) div 86400000000"))
             .otherwise(expr("(th - t1) div 86400000000")).as("d"))
       val grid = uu.groupBy($"d")
-        .agg(sum($"is_event").as("d_events"),
-          (count(lit(1)) - sum($"is_event")).as("d_censored"))
+        .agg(sum(when($"g" === "early", $"is_event").otherwise(0L)).as("da"),
+          sum(when($"g" === "early", 1L).otherwise(0L)).as("ta"),
+          sum(when($"g" === "late", $"is_event").otherwise(0L)).as("db"),
+          sum(when($"g" === "late", 1L).otherwise(0L)).as("tb"))
       val wRisk = Window.orderBy($"d")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      val wCum = Window.orderBy($"d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid
-        .withColumn("n_risk", sum($"d_events" + $"d_censored").over(wRisk))
-        .filter($"d_events" > 0)
-        .withColumn("lnterm",
-          // a day where survival hits exactly 0 (n_risk = d_events) is
-          // outside the log domain; its term is NULL in BOTH engines
-          // (ln(0) would be -inf here and an error in DuckDB) and both
-          // window sums skip NULL identically
-          expr("""CASE WHEN n_risk = d_events THEN NULL
-                ELSE CAST(floor(ln(CAST(n_risk - d_events AS DOUBLE)) * 1000000
-                    + 0.5) AS BIGINT)
-                - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 1000000 + 0.5)
-                    AS BIGINT) END"""))
-        .withColumn("cum_ln_surv_micro", sum($"lnterm").over(wCum))
-        .select($"d".as("day"), $"n_risk", $"d_events",
-          expr("1000000 * d_events div n_risk").as("hazard_micro"),
-          $"cum_ln_surv_micro")
-        .orderBy($"day")
+      val terms = grid
+        .withColumn("na", sum($"ta").over(wRisk))
+        .withColumn("nb", sum($"tb").over(wRisk))
+        .filter($"da" + $"db" > 0)
+        .select(($"da" + $"db").as("dd"), ($"na" + $"nb").as("n"),
+          $"da", $"na", $"nb")
+      val tot = uu.groupBy($"g").agg(count(lit(1)).as("n"))
+        .agg(max(when($"g" === "early", $"n")).as("n_early"),
+          max(when($"g" === "late", $"n")).as("n_late"))
+      terms.agg(
+          sum($"da" * 1000000L).as("obs_a_micro"),
+          sum(expr("1000000 * dd * na div n")).as("exp_a_micro"),
+          sum(expr("""CASE WHEN n <= 1 THEN 0
+              ELSE CAST(1000000000000 AS DECIMAL(38,0)) * dd * (n - dd)
+                   * na * nb div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))
+              END""")).as("v_micro2"))
+        .crossJoin(broadcast(tot))
+        .select($"n_early", $"n_late", $"obs_a_micro", $"exp_a_micro",
+          expr("CAST(v_micro2 AS BIGINT)").as("var_micro2"),
+          expr("""CASE WHEN CAST(v_micro2 AS BIGINT) = 0 THEN NULL
+              ELSE CAST(floor(
+                CAST((obs_a_micro - exp_a_micro) * 1000 AS DOUBLE)
+                / sqrt(CAST(v_micro2 AS DOUBLE)) + 0.5) AS BIGINT)
+              END""").as("z_milli"))
+        .select($"n_early", $"n_late", $"obs_a_micro", $"exp_a_micro",
+          $"var_micro2", $"z_milli",
+          when(abs($"z_milli") >= 1960L, 1L).otherwise(0L).as("reject_h0"))
     }, Some("""
       WITH e AS (SELECT user_id AS u, event_type AS et,
           epoch_us(CAST(ts AS TIMESTAMP)) AS tm FROM events),
-      s1 AS (SELECT u, min(tm) AS t1 FROM e WHERE et = 'signup' GROUP BY u),
+      s1 AS (SELECT u, min(tm) AS t1, min(tm) // 86400000000 AS sd
+        FROM e WHERE et = 'signup' GROUP BY u),
+      mid AS (SELECT (min(sd) + max(sd)) // 2 AS mid FROM s1),
       ev AS (SELECT e.u, min(e.tm) AS tp FROM e JOIN s1 ON e.u = s1.u
         WHERE e.et = 'purchase' AND e.tm > s1.t1 GROUP BY e.u),
       hor AS (SELECT max(tm) AS th FROM e),
       uu AS (SELECT s1.u,
+          CASE WHEN s1.sd <= mid.mid THEN 'early' ELSE 'late' END AS g,
           CASE WHEN ev.tp IS NOT NULL THEN CAST(1 AS BIGINT)
             ELSE CAST(0 AS BIGINT) END AS is_event,
           CASE WHEN ev.tp IS NOT NULL THEN (ev.tp - s1.t1) // 86400000000
             ELSE (hor.th - s1.t1) // 86400000000 END AS d
-        FROM s1 LEFT JOIN ev ON s1.u = ev.u CROSS JOIN hor),
-      grid AS (SELECT d, CAST(sum(is_event) AS BIGINT) AS d_events,
-          CAST(count(*) - sum(is_event) AS BIGINT) AS d_censored
+        FROM s1 LEFT JOIN ev ON s1.u = ev.u CROSS JOIN hor CROSS JOIN mid),
+      grid AS (SELECT d,
+          CAST(sum(CASE WHEN g = 'early' THEN is_event ELSE 0 END)
+            AS BIGINT) AS da,
+          CAST(sum(CASE WHEN g = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+            AS ta,
+          CAST(sum(CASE WHEN g = 'late' THEN is_event ELSE 0 END)
+            AS BIGINT) AS db,
+          CAST(sum(CASE WHEN g = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS tb
         FROM uu GROUP BY d),
-      risk AS (SELECT d, d_events,
-          CAST(sum(d_events + d_censored) OVER (ORDER BY d
+      risk AS (SELECT d, da, db,
+          CAST(sum(ta) OVER (ORDER BY d
             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
-            AS n_risk
+            AS na,
+          CAST(sum(tb) OVER (ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+            AS nb
         FROM grid),
-      terms AS (SELECT d, n_risk, d_events,
-          CASE WHEN n_risk = d_events THEN NULL
-          ELSE CAST(floor(ln(CAST(n_risk - d_events AS DOUBLE)) * 1000000
-            + 0.5) AS BIGINT)
-          - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
-          END AS lnterm
-        FROM risk WHERE d_events > 0)
-      SELECT d AS day, n_risk, d_events,
-        1000000 * d_events // n_risk AS hazard_micro,
-        CAST(sum(lnterm) OVER (ORDER BY d
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-          AS cum_ln_surv_micro
-      FROM terms ORDER BY day""")),
+      terms AS (SELECT da + db AS dd, na + nb AS n, da, na, nb
+        FROM risk WHERE da + db > 0),
+      tot AS (SELECT
+          CAST(sum(CASE WHEN g = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_early,
+          CAST(sum(CASE WHEN g = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_late
+        FROM uu),
+      agg AS (SELECT
+          CAST(sum(da * 1000000) AS BIGINT) AS obs_a_micro,
+          CAST(sum(1000000 * dd * na // n) AS BIGINT) AS exp_a_micro,
+          CAST(sum(CASE WHEN n <= 1 THEN 0
+            ELSE CAST(1000000000000 AS HUGEINT) * dd * (n - dd) * na * nb
+                 // (CAST(n AS HUGEINT) * n * (n - 1)) END) AS BIGINT)
+            AS var_micro2
+        FROM terms)
+      SELECT t.n_early, t.n_late, a.obs_a_micro, a.exp_a_micro,
+        a.var_micro2,
+        CASE WHEN a.var_micro2 = 0 THEN NULL
+          ELSE CAST(floor(
+            CAST((a.obs_a_micro - a.exp_a_micro) * 1000 AS DOUBLE)
+            / sqrt(CAST(a.var_micro2 AS DOUBLE)) + 0.5) AS BIGINT) END
+          AS z_milli,
+        CAST(CASE WHEN abs(CASE WHEN a.var_micro2 = 0 THEN NULL
+            ELSE CAST(floor(
+              CAST((a.obs_a_micro - a.exp_a_micro) * 1000 AS DOUBLE)
+              / sqrt(CAST(a.var_micro2 AS DOUBLE)) + 0.5) AS BIGINT) END)
+            >= 1960 THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+      FROM agg a CROSS JOIN tot t"""))
 
-    // ----- inverted-index delta-encoding budget ----------------------------
-    // Before building a token index over the corpus, price it: sorted
-    // postings lists store doc-id GAPS, and a gap costs exactly
-    // length(bin(gap)) bits raw (plus the same again minus one under
-    // Elias-γ — the length prefix). One distinct (token, doc) pass,
-    // one lag window partitioned by TOKEN (co-partitioned, no global
-    // sort), exact bit lengths via the engines' shared bin() string —
-    // no float log2 at power-of-two boundaries. The single-row budget:
-    // postings count, vocabulary, total γ and raw-binary bits vs the
-    // 64-bit-per-posting baseline, compression ratio in micro. First
-    // posting in each list encodes doc_id + 1 (absolute, gap-coded
-    // against −1).
-    ("q333_postings_budget", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val st = Tables.spread(Tables.t(s, dir, "documents"))
-        .select(explode(split(TA.normText($"text"), " ")).as("tok"), $"doc_id")
-        .filter($"tok" =!= "").distinct()
-      val wt = Window.partitionBy($"tok").orderBy($"doc_id")
-      val gaps = st.withColumn("gap",
-          $"doc_id" - coalesce(lag($"doc_id", 1).over(wt), lit(-1L)))
-        .select($"tok", length(bin($"gap")).cast("long").as("bits"))
-      gaps.agg(count(lit(1)).as("n_postings"),
-          countDistinct($"tok").as("n_tokens"),
-          sum($"bits").as("bin_bits"),
-          sum($"bits" * 2 - 1).as("gamma_bits"))
-        .select($"n_postings", $"n_tokens", $"bin_bits", $"gamma_bits",
-          (lit(64L) * $"n_postings").as("raw_bits"),
-          expr("1000000 * gamma_bits div (64 * n_postings)")
-            .as("gamma_ratio_micro"))
-    }, Some(s"""
-      WITH st AS (SELECT DISTINCT tok, doc_id FROM
-        (SELECT unnest(string_split($normSql, ' ')) AS tok, doc_id
-         FROM documents) WHERE tok <> ''),
-      gaps AS (SELECT tok,
-          CAST(length(bin(doc_id - coalesce(lag(doc_id, 1) OVER
-            (PARTITION BY tok ORDER BY doc_id), -1))) AS BIGINT) AS bits
-        FROM st)
-      SELECT CAST(count(*) AS BIGINT) AS n_postings,
-        CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens,
-        CAST(sum(bits) AS BIGINT) AS bin_bits,
-        CAST(sum(bits * 2 - 1) AS BIGINT) AS gamma_bits,
-        64 * CAST(count(*) AS BIGINT) AS raw_bits,
-        1000000 * CAST(sum(bits * 2 - 1) AS BIGINT)
-          // (64 * CAST(count(*) AS BIGINT)) AS gamma_ratio_micro
-      FROM gaps"""))
   )
 }

@@ -9,10 +9,11 @@ import graft.ext.{Similarity, TextAnalysis => TA}
 
 /** Round-9 batch 8: personalized PageRank (teleport to a SEED set —
   * the "related to these items" expansion q153's global walk cannot
-  * answer), per-dimension embedding whitening statistics (the
-  * standardization pass before any distance is trustworthy), and the
-  * sequence padding-waste audit (what fixed-shape batching costs
-  * before q106's packing is brought in).
+  * answer) and per-dimension embedding whitening statistics (the
+  * standardization pass before any distance is trustworthy).
+  *
+  * (This batch's first draft also carried a padding-waste audit; it
+  * duplicated q291 — found in the round-9 dedup audit and removed.)
   *
   * House rules as elsewhere: integer micro arithmetic; the per-dim
   * sqrt runs map-side on exact integers over a dim-bounded table
@@ -161,91 +162,6 @@ object Round9hQueries {
           ELSE abs(d.v * st.n - st.sv) * 1000 // (st.n * st.sigma_q) END)
           AS max_abs_z_milli
       FROM dims d JOIN st ON d.j = st.j
-      GROUP BY d.j ORDER BY dim""")),
-
-    // ----- sequence padding-waste audit -------------------------------------
-    // Fixed-shape batching pads every sequence to its bucket's cap;
-    // the waste is pure compute burned. Three schemes priced from the
-    // token-length grid in one pass: a single max-length bucket (the
-    // naive collate), power-of-two buckets (cap = next 2^k, exact via
-    // length(bin(len − 1)) — no float log2), and 8 equi-depth buckets
-    // (rank-cut via the q331 tie rule, cap = bucket max). Per scheme:
-    // bucket count, padded token total, waste, and waste share —
-    // read next to q106's packing, which eliminates the padding
-    // entirely at the cost of attention-mask plumbing.
-    ("q342_padding_waste", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val lens = Tables.spread(Tables.t(s, dir, "documents"))
-        .select(size(split(TA.normText($"text"), " ")).cast("long").as("len"))
-        .filter($"len" > 0)
-      val g = lens.groupBy($"len").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // reused by the three schemes
-      val tot = g.agg(sum($"cnt").as("n"), sum($"len" * $"cnt").as("st"),
-        max($"len").as("mx"))
-      val naive = tot.select(lit("a_single_max").as("scheme"),
-        lit(1L).as("n_buckets"), ($"mx" * $"n").as("padded_tokens"),
-        ($"mx" * $"n" - $"st").as("waste_tokens"))
-      val pow2 = g
-        .withColumn("cap", expr(
-          """CASE WHEN len = 1 THEN 1
-             ELSE CAST(pow(2, length(bin(len - 1))) AS BIGINT) END"""))
-        .agg(countDistinct($"cap").as("n_buckets"),
-          sum($"cap" * $"cnt").as("padded_tokens"),
-          sum(($"cap" - $"len") * $"cnt").as("waste_tokens"))
-        .select(lit("b_pow2").as("scheme"), $"n_buckets", $"padded_tokens",
-          $"waste_tokens")
-      val wv = Window.orderBy($"len")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val eq = g.withColumn("cum", sum($"cnt").over(wv))
-        .crossJoin(broadcast(tot.select($"n")))
-        .withColumn("pid", expr("(cum - cnt) * 8 div n"))
-        .groupBy($"pid").agg(max($"len").as("cap"), sum($"cnt").as("bc"),
-          sum($"len" * $"cnt").as("bs"))
-        .agg(count(lit(1)).as("n_buckets"),
-          sum($"cap" * $"bc").as("padded_tokens"),
-          sum($"cap" * $"bc" - $"bs").as("waste_tokens"))
-        .select(lit("c_equidepth8").as("scheme"), $"n_buckets",
-          $"padded_tokens", $"waste_tokens")
-      naive.unionByName(pow2).unionByName(eq)
-        .select($"scheme", $"n_buckets", $"padded_tokens", $"waste_tokens",
-          expr("1000000 * waste_tokens div padded_tokens")
-            .as("waste_share_micro"))
-        .orderBy($"scheme")
-    }, Some(s"""
-      WITH lens AS (SELECT CAST(len(string_split($normSql, ' ')) AS BIGINT)
-          AS len FROM documents),
-      g AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM lens
-        WHERE len > 0 GROUP BY len),
-      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
-          CAST(sum(len * cnt) AS BIGINT) AS st, max(len) AS mx FROM g),
-      naive AS (SELECT 'a_single_max' AS scheme, CAST(1 AS BIGINT)
-          AS n_buckets, mx * n AS padded_tokens,
-          mx * n - st AS waste_tokens FROM tot),
-      pow2 AS (SELECT 'b_pow2' AS scheme,
-          CAST(count(DISTINCT cap) AS BIGINT) AS n_buckets,
-          CAST(sum(cap * cnt) AS BIGINT) AS padded_tokens,
-          CAST(sum((cap - len) * cnt) AS BIGINT) AS waste_tokens
-        FROM (SELECT len, cnt,
-            CASE WHEN len = 1 THEN 1
-            ELSE CAST(pow(2, length(bin(len - 1))) AS BIGINT) END AS cap
-          FROM g)),
-      eqb AS (SELECT pid, max(len) AS cap, CAST(sum(cnt) AS BIGINT) AS bc,
-          CAST(sum(len * cnt) AS BIGINT) AS bs FROM
-        (SELECT len, cnt, (cum - cnt) * 8 // n AS pid FROM
-          (SELECT len, cnt,
-              CAST(sum(cnt) OVER (ORDER BY len
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                AS cum
-            FROM g) CROSS JOIN tot)
-        GROUP BY pid),
-      eq AS (SELECT 'c_equidepth8' AS scheme,
-          CAST(count(*) AS BIGINT) AS n_buckets,
-          CAST(sum(cap * bc) AS BIGINT) AS padded_tokens,
-          CAST(sum(cap * bc - bs) AS BIGINT) AS waste_tokens FROM eqb)
-      SELECT scheme, n_buckets, padded_tokens, waste_tokens,
-        1000000 * waste_tokens // padded_tokens AS waste_share_micro
-      FROM (SELECT * FROM naive UNION ALL SELECT * FROM pow2
-        UNION ALL SELECT * FROM eq)
-      ORDER BY scheme"""))
+      GROUP BY d.j ORDER BY dim"""))
   )
 }

@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{TextAnalysis => TA}
 
-/** Round-9 batch 9: the sliding-distinct KMV audit (q317's exact WAU
-  * against the bottom-k estimate that replaces it when the window's
-  * distinct set no longer fits — the scale path, with its error
-  * measured), the 2-D Pareto skyline (the preference-query operator
-  * family: documents no other document dominates on quality AND
-  * length), and association rules over co-purchases (support /
-  * confidence / lift — the rule-mining surface q275's cosine CF and
-  * q296's link prediction stop short of).
+/** Round-9 batch 9: the sliding-distinct KMV audit — q317's exact
+  * WAU against the bottom-k estimate that replaces it when the
+  * window's distinct set no longer fits (the scale path, with its
+  * error measured per window).
+  *
+  * (This batch's first draft also carried a 2-D skyline and
+  * association rules; both duplicated existing operators — q225 and
+  * q226 — and were removed in the round-9 dedup audit.)
   *
   * House rules as elsewhere: integer micro arithmetic, md5-derived
   * hashes, identical aliases both sides, total ORDER BY.
@@ -108,109 +108,6 @@ object Round9iQueries {
           / CAST(e.wau_exact AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
           AS err_micro
       FROM exact e JOIN kth k ON e.endd = k.endd
-      ORDER BY e.endd""")),
-
-    // ----- 2-D Pareto skyline (preference query) ----------------------------
-    // "Best documents" under two maximized criteria — quality score
-    // and length — with no weighting chosen up front: the skyline is
-    // every document no other document dominates on BOTH. The 2-D
-    // case has an exact one-window form: collapse to the distinct
-    // (score, len) grid, scan scores DESCENDING, keep a point iff its
-    // len strictly exceeds the running max of all higher-score points
-    // (ties in score compete against each other only via higher
-    // scores — the standard skyline semantics with whole-grid
-    // determinism). Grid-bounded window, no pairwise dominance join —
-    // the O(n²) naive form is what the spec replays to prove this
-    // right.
-    ("q344_skyline", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val lab = Round8aeQueries.scoredDocs(s, dir)
-        .select($"doc_id", $"score", $"nc")
-      val grid = lab.groupBy($"score", $"nc").agg(count(lit(1)).as("cnt"))
-      val wPrev = Window.orderBy(desc("score"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // running max length over STRICTLY higher scores: the grid is
-      // per (score, nc), so same-score rows must see the same prefix —
-      // collapse to per-score max first, then the strict-prefix window
-      val perScore = grid.groupBy($"score").agg(max($"nc").as("mnc"))
-      val front = perScore
-        .withColumn("prevmax", max($"mnc").over(wPrev))
-        .filter($"prevmax".isNull || $"mnc" > $"prevmax")
-        .select($"score".as("f_score"), $"mnc") // fresh names: front derives
-        // from lab, and a same-lineage join on "score" is ambiguous
-      lab.join(front, $"score" === $"f_score" && $"nc" === $"mnc")
-        .select($"doc_id", $"score", $"nc".as("n_chars"))
-        .orderBy(desc("score"), $"doc_id")
-    }, Some(s"""
-      WITH ${Round8aeQueries.scoredSql},
-      l2 AS (SELECT sc.doc_id, sc.score, sc.nc FROM sc),
-      per_score AS (SELECT score, max(nc) AS mnc FROM l2 GROUP BY 1),
-      front AS (SELECT score, mnc FROM
-        (SELECT score, mnc,
-            max(mnc) OVER (ORDER BY score DESC
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
-          FROM per_score)
-        WHERE prevmax IS NULL OR mnc > prevmax)
-      SELECT l2.doc_id, l2.score, l2.nc AS n_chars
-      FROM l2 JOIN front ON l2.score = front.score AND l2.nc = front.mnc
-      ORDER BY l2.score DESC, l2.doc_id""")),
-
-    // ----- association rules over co-purchases ------------------------------
-    // The rule-mining read of the basket data: for item pairs with
-    // support ≥ 2 baskets (min-support is a dial; 2 keeps
-    // the demo corpus's sparse baskets in play at every SF), BOTH directional rules A→B with
-    // confidence = supp(AB)/supp(A) and the symmetric lift =
-    // supp(AB)·N / (supp(A)·supp(B)) — lift > 1e6 micro means the
-    // pair co-occurs beyond independence, the number a "frequently
-    // bought together" shelf is built from. Shape: the q296 pair
-    // aggregate (bounded by basket structure), per-item supports as a
-    // broadcast join, top-20 rules by (lift, confidence) with a total
-    // order. The lift cross-product runs in DECIMAL(38,0)/HUGEINT.
-    ("q345_association_rules", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val items = Tables.t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        .localCheckpoint() // reused: basket count, supports, pairs
-      val nb = items.select($"ok").distinct().agg(count(lit(1)).as("nb"))
-      val supp = items.groupBy($"pk").agg(count(lit(1)).as("s"))
-      val pairs = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("sab"))
-        .filter($"sab" >= 2)
-      val rules = pairs
-        .select($"a".as("ante"), $"b".as("cons"), $"sab")
-        .unionByName(pairs.select($"b".as("ante"), $"a".as("cons"), $"sab"))
-        .join(broadcast(supp.toDF("ante", "sa")), Seq("ante"))
-        .join(broadcast(supp.toDF("cons", "sc")), Seq("cons"))
-        .crossJoin(broadcast(nb))
-        .select($"ante", $"cons", $"sab", $"sa", $"sc",
-          expr("1000000 * sab div sa").as("confidence_micro"),
-          expr("""CAST(CAST(1000000 AS DECIMAL(38,0)) * sab * nb
-                  div (CAST(sa AS DECIMAL(38,0)) * sc) AS BIGINT)""")
-            .as("lift_micro"))
-      rules.orderBy(desc("lift_micro"), desc("confidence_micro"),
-        $"ante", $"cons").limit(20)
-    }, Some("""
-      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        FROM lineitem),
-      nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nb FROM items),
-      supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS s
-        FROM items GROUP BY 1),
-      pairs AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS sab
-        FROM items a JOIN items b ON a.ok = b.ok WHERE a.pk < b.pk
-        GROUP BY 1, 2 HAVING count(*) >= 2),
-      rules AS (SELECT r.ante, r.cons, r.sab, za.s AS sa, zc.s AS sc,
-          1000000 * r.sab // za.s AS confidence_micro,
-          CAST(CAST(1000000 AS HUGEINT) * r.sab * nb.nb
-            // (CAST(za.s AS HUGEINT) * zc.s) AS BIGINT) AS lift_micro
-        FROM (SELECT a AS ante, b AS cons, sab FROM pairs
-          UNION ALL SELECT b, a, sab FROM pairs) r
-        JOIN supp za ON r.ante = za.pk
-        JOIN supp zc ON r.cons = zc.pk
-        CROSS JOIN nb)
-      SELECT ante, cons, sab, sa, sc, confidence_micro, lift_micro
-      FROM rules
-      ORDER BY lift_micro DESC, confidence_micro DESC, ante, cons
-      LIMIT 20"""))
+      ORDER BY e.endd"""))
   )
 }

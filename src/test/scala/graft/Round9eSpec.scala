@@ -5,10 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Round9eQueries
 
-/** Behavior pins for the Round-9 batch-5 operators (q331–q333): the
-  * partition plan replayed from sorted values, Kaplan–Meier recomputed
-  * user-by-user with explicit censoring, and the postings budget
-  * rebuilt from per-token sorted gap lists.
+/** Behavior pins for the Round-9 batch-5 operators (q331–q332): the
+  * sampled partition plan replayed rate-by-rate, and the log-rank
+  * test recomputed user-by-user with explicit censoring.
   */
 class Round9eSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -60,65 +59,54 @@ class Round9eSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 0L))
   }
 
-  test("q332 equals an imperative KM replay with explicit censoring") {
+  test("q332 equals an imperative log-rank replay with explicit censoring") {
     val evs = Tables.t(spark, TestSpark.Sf, "events")
       .select($"user_id", $"event_type",
         unix_micros($"ts".cast("timestamp")))
       .as[(Long, String, Long)].collect().toSeq
     val th = evs.map(_._3).max
-    val byU = evs.groupBy(_._1)
     val day = 86400000000L
-    val uu = byU.values.toSeq.flatMap { g =>
+    val perUser = evs.groupBy(_._1).values.toSeq.flatMap { g =>
       g.filter(_._2 == "signup").map(_._3).minOption.map { t1 =>
         val tp = g.filter(e => e._2 == "purchase" && e._3 > t1)
           .map(_._3).minOption
-        tp match {
+        val (isEv, d) = tp match {
           case Some(t) => (1L, (t - t1) / day)
           case None => (0L, (th - t1) / day)
         }
+        (t1 / day, isEv, d)
       }
     }
-    val grid = uu.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, g) =>
-      (d, g.count(_._1 == 1L).toLong, g.size.toLong)
+    val mid = (perUser.map(_._1).min + perUser.map(_._1).max) / 2
+    val withG = perUser.map { case (sd, e, d) =>
+      (if (sd <= mid) "early" else "late", e, d) }
+    val nE = withG.count(_._1 == "early").toLong
+    val nL = withG.count(_._1 == "late").toLong
+    val days = withG.map(_._3).distinct.sorted
+    var obsA = 0L; var expA = 0L; var v = BigInt(0)
+    days.foreach { d =>
+      val da = withG.count(r => r._1 == "early" && r._2 == 1L && r._3 == d).toLong
+      val db = withG.count(r => r._1 == "late" && r._2 == 1L && r._3 == d).toLong
+      val na = withG.count(r => r._1 == "early" && r._3 >= d).toLong
+      val nb = withG.count(r => r._1 == "late" && r._3 >= d).toLong
+      val dd = da + db; val n = na + nb
+      if (dd > 0) {
+        obsA += da * 1000000L
+        expA += 1000000L * dd * na / n
+        if (n > 1)
+          v += BigInt(1000000000000L) * dd * (n - dd) * na * nb /
+            (BigInt(n) * n * (n - 1))
+      }
     }
-    def lnm(x: Long): Long =
-      math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
-    var cum = 0L
-    val expected = grid.map { case (d, de, tot) =>
-      val risk = grid.filter(_._1 >= d).map(_._3).sum
-      (d, de, risk)
-    }.filter(_._2 > 0).map { case (d, de, risk) =>
-      if (risk != de) cum += lnm(risk - de) - lnm(risk)
-      (d, risk, de, 1000000L * de / risk, cum)
-    }
-    val got = q("q332_kaplan_meier")(spark, TestSpark.Sf)
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    assert(got == expected)
-    // survival only decays: the cumulative log is non-increasing
-    assert(got.sliding(2).forall(w => w.head._5 >= w.last._5))
-    // at-risk only shrinks over time
-    assert(got.sliding(2).forall(w => w.head._2 >= w.last._2))
-  }
-
-  test("q333 equals an imperative postings-gap bit count") {
-    val st = Tables.t(spark, TestSpark.Sf, "documents")
-      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
-      .flatMap { case (id, t) =>
-        normText(t).split(" ").filter(_.nonEmpty).distinct.map(tok => (tok, id))
-      }.distinct
-    val lists = st.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
-    val allBits = lists.values.toSeq.flatMap { ds =>
-      (Seq(-1L) ++ ds).sliding(2).map { case Seq(a, b) => bits(b - a) }.toSeq
-    }
-    val nPost = st.size.toLong
-    val binBits = allBits.sum
-    val gammaBits = allBits.map(_ * 2 - 1).sum
-    val got = q("q333_postings_budget")(spark, TestSpark.Sf)
-      .as[(Long, Long, Long, Long, Long, Long)].collect().head
-    assert(got == ((nPost, lists.size.toLong, binBits, gammaBits,
-      64L * nPost, 1000000L * gammaBits / (64L * nPost))))
-    // delta-gamma must genuinely compress vs raw 64-bit postings
-    assert(got._4 < got._5)
+    val z =
+      if (v == 0) None
+      else Some(math.floor((obsA - expA).toDouble * 1000 /
+        math.sqrt(v.toDouble) + 0.5).toLong)
+    val rej = z.map(x => if (math.abs(x) >= 1960L) 1L else 0L).getOrElse(0L)
+    val got = q("q332_logrank_test")(spark, TestSpark.Sf)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Long)].collect().head
+    assert(got == ((nE, nL, obsA, expA, v.toLong, z, rej)))
+    // both groups are populated by the midpoint split
+    assert(nE > 0 && nL > 0)
   }
 }

@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Round9hQueries
 
-/** Behavior pins for the Round-9 batch-8 operators (q340–q342): PPR
-  * replayed with an imperative 3-round push, whitening statistics
+/** Behavior pins for the Round-9 batch-8 operators (q340–q341): PPR
+  * replayed with an imperative 3-round push, and whitening statistics
   * recomputed dim-by-dim (including the exact-zero centering
-  * identity), and the padding audit replayed over the length list.
+  * identity).
   */
 class Round9hSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -73,40 +73,5 @@ class Round9hSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
     assert(got == expected)
     assert(got.forall(_._5 == 0L)) // Σ(v·n − sv) ≡ 0, the centering identity
-  }
-
-  test("q342 equals an imperative padding replay; packing order holds") {
-    val lens = Tables.t(spark, TestSpark.Sf, "documents")
-      .select($"text").as[String].collect().toSeq
-      .map(t => normText(t).split(" ").count(_.nonEmpty).toLong)
-      .filter(_ > 0)
-    val n = lens.size.toLong; val st = lens.sum; val mx = lens.max
-    def share(w: Long, p: Long) = 1000000L * w / p
-    val naive = ("a_single_max", 1L, mx * n, mx * n - st)
-    def pow2cap(l: Long): Long =
-      if (l == 1) 1L
-      else math.pow(2, java.lang.Long.toBinaryString(l - 1).length).toLong
-    val p2 = lens.map(l => (pow2cap(l), l))
-    val pow2 = ("b_pow2", p2.map(_._1).distinct.size.toLong,
-      p2.map(_._1).sum, p2.map(x => x._1 - x._2).sum)
-    val grid = lens.groupBy(identity).view.mapValues(_.size.toLong)
-      .toSeq.sortBy(_._1)
-    var below = 0L
-    val pids = grid.map { case (l, c) =>
-      val pid = below * 8 / n; below += c; (pid, l, c) }
-    val eqb = pids.groupBy(_._1).values.map { g =>
-      val cap = g.map(_._2).max; val bc = g.map(_._3).sum
-      (cap * bc, cap * bc - g.map(x => x._2 * x._3).sum)
-    }.toSeq
-    val eq = ("c_equidepth8", pids.map(_._1).distinct.size.toLong,
-      eqb.map(_._1).sum, eqb.map(_._2).sum)
-    val expected = Seq(naive, pow2, eq).map { case (s, b, p, w) =>
-      (s, b, p, w, share(w, p)) }
-    val got = q("q342_padding_waste")(spark, TestSpark.Sf)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(got == expected)
-    // more buckets can only reduce padded volume
-    val byScheme = got.map(r => r._1 -> r._3).toMap
-    assert(byScheme("c_equidepth8") <= byScheme("a_single_max"))
   }
 }
