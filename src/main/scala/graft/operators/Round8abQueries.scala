@@ -47,10 +47,15 @@ object Round8abQueries {
     // (Σij·1e6 < 2^63 is annotation-bounded by nature), but the ARI
     // num/den multiply three pair-count sums — C(n,2)·Σij and sa·sb
     // reach ~n⁴/1000, past int64 around n ~ 1e5 per stratum — so both
-    // are accumulated in DECIMAL(38,0)/HUGEINT (exact to ~1.7e38, i.e.
-    // n ≲ 1e9 items) before the ONE double division, on a single row
-    // (floor semantics match across engines for doubles, unlike
-    // integer div vs // on negatives).
+    // are accumulated in DECIMAL(38,0)/HUGEINT before the ONE double
+    // division, on a single row (floor semantics match across engines
+    // for doubles, unlike integer div vs // on negatives). Spark's
+    // `div` ALWAYS returns BIGINT regardless of operand type, so the
+    // halved C(n,2) is re-cast to DECIMAL(38,0) before the ·Σij and
+    // ·(sa+sb) multiplies — C(n,2) itself fits int64 to n ~ 4e9, and
+    // the re-cast keeps the products exact to ~1e38 (n ≲ 1e9 items);
+    // Round8abSpec pins the n ~ 1e6 regime against the int64-overflow
+    // form.
     ("q300_clustering_ari", (s: SparkSession, dir: String) => {
       import s.implicits._
       val e = Tables.spread(Tables.t(s, dir, "embeddings"))
@@ -79,9 +84,11 @@ object Round8abQueries {
         .crossJoin(broadcast(prec)).crossJoin(broadcast(rec))
         .select($"n".as("n_items"), $"n_pred", $"n_true",
           expr("""CAST(floor(
-              CAST(2 * (CAST(n AS DECIMAL(38,0)) * (n - 1) div 2) * ix
+              CAST(2 * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
+                     AS DECIMAL(38,0)) * ix
                    - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
-              / CAST((CAST(n AS DECIMAL(38,0)) * (n - 1) div 2) * (sa + sb)
+              / CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
+                     AS DECIMAL(38,0)) * (sa + sb)
                    - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
               * 1000000 + 0.5) AS BIGINT)""").as("ari_micro"),
           expr("pp div n").as("b3_precision_micro"),

@@ -34,9 +34,11 @@ object Round9Queries {
     // explicit and documented: pairs whose common neighbors are ALL
     // high-degree hubs drop out entirely, and every retained score is
     // a lower bound on the exact AA score. Round9Spec quantifies the
-    // bias on this corpus by diffing against q296.
+    // bias on this corpus by diffing against q296. The oracle
+    // interpolates AaCap into its HAVING clause (s-interpolator), so
+    // turning the dial can never silently desynchronize the two sides.
     ("q321_adamic_adar_capped", (s: SparkSession, dir: String) =>
-      Round8zQueries.adamicAdar(s, dir, AaCap), Some("""
+      Round8zQueries.adamicAdar(s, dir, AaCap), Some(s"""
       WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         FROM lineitem),
       pairs AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS cab
@@ -46,7 +48,7 @@ object Round9Queries {
       wts AS (SELECT w, CAST(1000000000000
             // CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)
               AS BIGINT) AS BIGINT) AS wm
-        FROM sym GROUP BY w HAVING count(*) >= 2 AND count(*) <= 128),
+        FROM sym GROUP BY w HAVING count(*) >= 2 AND count(*) <= $AaCap),
       wedges AS (SELECT s1.x AS x, s2.x AS x2,
           CAST(count(*) AS BIGINT) AS n_common,
           CAST(sum(w.wm) AS BIGINT) AS aa_micro

@@ -186,7 +186,8 @@ object Round9eQueries {
           max(when($"g" === "late", $"n")).as("n_late"))
       terms.agg(
           sum($"da" * 1000000L).as("obs_a_micro"),
-          sum(expr("1000000 * dd * na div n")).as("exp_a_micro"),
+          sum(expr(
+            "CAST(1000000 AS DECIMAL(38,0)) * dd * na div n")).as("exp_a_micro"),
           sum(expr("""CASE WHEN n <= 1 THEN 0
               ELSE CAST(1000000000000 AS DECIMAL(38,0)) * dd * (n - dd)
                    * na * nb div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))
@@ -245,7 +246,8 @@ object Round9eQueries {
         FROM uu),
       agg AS (SELECT
           CAST(sum(da * 1000000) AS BIGINT) AS obs_a_micro,
-          CAST(sum(1000000 * dd * na // n) AS BIGINT) AS exp_a_micro,
+          CAST(sum(CAST(1000000 AS HUGEINT) * dd * na // n) AS BIGINT)
+            AS exp_a_micro,
           CAST(sum(CASE WHEN n <= 1 THEN 0
             ELSE CAST(1000000000000 AS HUGEINT) * dd * (n - dd) * na * nb
                  // (CAST(n AS HUGEINT) * n * (n - 1)) END) AS BIGINT)

@@ -58,7 +58,8 @@ object Round9gQueries {
           max($"lo").as("lo"))
         .select($"n_rows",
           expr("sum_cents div n_rows").as("mean_cents"),
-          expr("tsum div tn").as("trimmed_mean_cents"),
+          expr("CASE WHEN tn = 0 THEN NULL ELSE tsum div tn END")
+            .as("trimmed_mean_cents"),
           expr("""(tsum + lo * p05 + (n_rows - lo - tn) * p95)
                   div n_rows""").as("winsorized_mean_cents"),
           $"p05".as("p05_cents"), $"p95".as("p95_cents"))
@@ -86,7 +87,8 @@ object Round9gQueries {
           max(lo) AS lo
         FROM k)
       SELECT n_rows, sum_cents // n_rows AS mean_cents,
-        tsum // tn AS trimmed_mean_cents,
+        CASE WHEN tn = 0 THEN NULL ELSE tsum // tn END
+          AS trimmed_mean_cents,
         (tsum + lo * p05 + (n_rows - lo - tn) * p95) // n_rows
           AS winsorized_mean_cents,
         p05 AS p05_cents, p95 AS p95_cents

@@ -38,8 +38,10 @@ object Round9iQueries {
     // form is functions.KmvSketch/q53): h = md5-trunc-8 of the user,
     // per end-day the k = 256 smallest distinct hashes via ONE rank
     // window over the fanned pairs; estimate = (k−1)·2³² div h₍ₖ₎,
-    // falling back to the EXACT distinct count when the window holds
-    // fewer than k users (every hash is then known — not an estimate).
+    // falling back to the distinct-HASH count when the window holds
+    // fewer than k hashes (still an estimate, not exact: a 32-bit
+    // collision between two users undercounts by one — negligible at
+    // these cardinalities, stated for honesty).
     ("q343_sliding_kmv_audit", (s: SparkSession, dir: String) => {
       import s.implicits._
       val du = Tables.t(s, dir, "events")

@@ -64,6 +64,33 @@ class Round8abSpec extends AnyFunSuite {
     assert(ari <= 1000000) // ≤ 1 by construction; chance-level ≈ 0 allowed <0
   }
 
+  test("q300 ARI expression stays exact past the int64 product boundary (n ~ 1e6)") {
+    // Spark's `div` always returns BIGINT, so the halved C(n,2) must be
+    // re-cast to DECIMAL(38,0) before multiplying by ix / (sa+sb) — at
+    // n ~ 2e6 the products reach ~2e24 and the un-recast form wraps (or
+    // throws under ANSI). Pin the shipped expression against a
+    // BigInt-exact recompute at that scale.
+    val ariExpr = """CAST(floor(
+        CAST(2 * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
+               AS DECIMAL(38,0)) * ix
+             - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+        / CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
+               AS DECIMAL(38,0)) * (sa + sb)
+             - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+        * 1000000 + 0.5) AS BIGINT)"""
+    val (n, ix, sa, sb) = (2000000L, 987654321098L, 1543219876543L, 1212121212121L)
+    val got = Seq((n, ix, sa, sb)).toDF("n", "ix", "sa", "sb")
+      .select(expr(ariExpr).as("ari_micro")).head.getLong(0)
+    val (bn, bix, bsa, bsb) = (BigInt(n), BigInt(ix), BigInt(sa), BigInt(sb))
+    val c2n = bn * (bn - 1) / 2
+    val expected = math.floor(
+      (2 * c2n * bix - 2 * bsa * bsb).toDouble /
+        (c2n * (bsa + bsb) - 2 * bsa * bsb).toDouble * 1000000 + 0.5).toLong
+    assert(got == expected)
+    // sanity: the products really are past int64 at this scale
+    assert(2 * c2n * bix > BigInt(Long.MaxValue))
+  }
+
   // ----- q301 Shapley source valuation -------------------------------------
 
   test("q301 equals the closed-form recompute; efficiency axiom holds to floor error") {
