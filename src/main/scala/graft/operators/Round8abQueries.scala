@@ -30,6 +30,22 @@ object Round8abQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** q300's ARI closed form over (n, ix, sa, sb). Spark's `div` always
+    * returns BIGINT, so the halved C(n,2) is re-cast to DECIMAL(38,0)
+    * before the `· ix` / `· (sa+sb)` multiplies — at n ~ 2e6 those
+    * products reach ~2e24 and the un-recast form wraps (or throws
+    * under ANSI). Shared with Round8abSpec's int64-boundary pin so the
+    * spec can never desync from the shipped expression.
+    */
+  private[graft] val AriExprSql = """CAST(floor(
+      CAST(2 * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
+             AS DECIMAL(38,0)) * ix
+           - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+      / CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
+             AS DECIMAL(38,0)) * (sa + sb)
+           - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
+      * 1000000 + 0.5) AS BIGINT)"""
+
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ----- adjusted Rand + B-cubed clustering evaluation ------------------
@@ -83,14 +99,7 @@ object Round8abQueries {
       tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
         .crossJoin(broadcast(prec)).crossJoin(broadcast(rec))
         .select($"n".as("n_items"), $"n_pred", $"n_true",
-          expr("""CAST(floor(
-              CAST(2 * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
-                     AS DECIMAL(38,0)) * ix
-                   - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
-              / CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
-                     AS DECIMAL(38,0)) * (sa + sb)
-                   - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
-              * 1000000 + 0.5) AS BIGINT)""").as("ari_micro"),
+          expr(AriExprSql).as("ari_micro"),
           expr("pp div n").as("b3_precision_micro"),
           expr("rr div n").as("b3_recall_micro"),
           expr("2 * (pp div n) * (rr div n) div ((pp div n) + (rr div n))")

@@ -24,6 +24,15 @@ object Round9eQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** q332's expected-events term over (dd, na, n). 1000000·dd·na wraps
+    * int64 once dd·na > ~9.2e12 (cohorts ~3e6+), so the product is
+    * carried in DECIMAL(38,0) end-to-end. Shared with Round9eSpec's
+    * int64-boundary pin so the spec can never desync from the shipped
+    * expression.
+    */
+  private[graft] val ExpEventsSql =
+    "CAST(1000000 AS DECIMAL(38,0)) * dd * na div n"
+
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ----- sampled range-partitioner audit ----------------------------------
@@ -186,8 +195,7 @@ object Round9eQueries {
           max(when($"g" === "late", $"n")).as("n_late"))
       terms.agg(
           sum($"da" * 1000000L).as("obs_a_micro"),
-          sum(expr(
-            "CAST(1000000 AS DECIMAL(38,0)) * dd * na div n")).as("exp_a_micro"),
+          sum(expr(ExpEventsSql)).as("exp_a_micro"),
           sum(expr("""CASE WHEN n <= 1 THEN 0
               ELSE CAST(1000000000000 AS DECIMAL(38,0)) * dd * (n - dd)
                    * na * nb div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))

@@ -26,6 +26,48 @@ object Round9fQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** q335's blocked agreement statistics — ONE row holding the truth
+    * agreements (m_*), the per-field per-value C(cnt,2) agree-pair
+    * sums (a_*), the total block-pair count and the corpus size. The
+    * whole point of the operator is that these come from group-size
+    * combinatorics, never a materialized pair join; exposed
+    * pre-checkpoint so PlanQualitySpec can assert exactly that on the
+    * optimized plan (the query itself checkpoints this one row, which
+    * would otherwise hide the DAG behind a LogicalRDD).
+    */
+  private[graft] def fsLinkageStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+      .select($"c_custkey".as("id"), $"c_nationkey".as("blk"),
+        $"c_name".as("f_name"), $"c_mktsegment".as("f_seg"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("f_bal"))
+      .localCheckpoint() // reused: clones, truth compare, block counts
+    def corrupt(tag: String, mod: Int) =
+      conv(substring(md5(concat(lit(tag), $"id".cast("string"))),
+        1, 8), 16, 10).cast("long") % mod === 0
+    val clone = c.select(($"id" + 1000000000000L).as("id"), $"blk",
+      when(corrupt("fsn|", 4), concat($"f_name", lit("x")))
+        .otherwise($"f_name").as("f_name"),
+      when(corrupt("fss|", 8), lit("XXX")).otherwise($"f_seg").as("f_seg"),
+      when(corrupt("fsb|", 2), $"f_bal" + 1).otherwise($"f_bal").as("f_bal"))
+    val corpus = c.unionByName(clone).localCheckpoint()
+    val nn = c.agg(count(lit(1)).as("n")) // truth-pair count (1/clone)
+    val truth = c.join(clone.select(($"id" - 1000000000000L).as("id"),
+        $"f_name".as("g_name"), $"f_seg".as("g_seg"),
+        $"f_bal".as("g_bal")), Seq("id"))
+      .agg(sum(($"f_name" === $"g_name").cast("long")).as("m_name"),
+        sum(($"f_seg" === $"g_seg").cast("long")).as("m_seg"),
+        sum(($"f_bal" === $"g_bal").cast("long")).as("m_bal"))
+    val tb = corpus.groupBy($"blk").agg(count(lit(1)).as("nb"))
+      .agg(sum(expr("nb * (nb - 1) div 2")).as("t_pairs"))
+    def agreePairs(fld: String) = corpus
+      .groupBy($"blk", col(fld)).agg(count(lit(1)).as("cv"))
+      .agg(sum(expr("cv * (cv - 1) div 2")).as(s"a_$fld"))
+    agreePairs("f_name").crossJoin(agreePairs("f_seg"))
+      .crossJoin(agreePairs("f_bal")).crossJoin(broadcast(tb))
+      .crossJoin(broadcast(truth)).crossJoin(broadcast(nn))
+  }
+
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ----- decile lift and cumulative gains -------------------------------
@@ -108,35 +150,7 @@ object Round9fQueries {
     // NULL-guarded when a field never or always agrees).
     ("q335_fs_linkage_weights", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val c = Tables.t(s, dir, "customer")
-        .select($"c_custkey".as("id"), $"c_nationkey".as("blk"),
-          $"c_name".as("f_name"), $"c_mktsegment".as("f_seg"),
-          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("f_bal"))
-        .localCheckpoint() // reused: clones, truth compare, block counts
-      def corrupt(tag: String, mod: Int) =
-        conv(substring(md5(concat(lit(tag), $"id".cast("string"))),
-          1, 8), 16, 10).cast("long") % mod === 0
-      val clone = c.select(($"id" + 1000000000000L).as("id"), $"blk",
-        when(corrupt("fsn|", 4), concat($"f_name", lit("x")))
-          .otherwise($"f_name").as("f_name"),
-        when(corrupt("fss|", 8), lit("XXX")).otherwise($"f_seg").as("f_seg"),
-        when(corrupt("fsb|", 2), $"f_bal" + 1).otherwise($"f_bal").as("f_bal"))
-      val corpus = c.unionByName(clone).localCheckpoint()
-      val nn = c.agg(count(lit(1)).as("n")) // truth-pair count (1/clone)
-      val truth = c.join(clone.select(($"id" - 1000000000000L).as("id"),
-          $"f_name".as("g_name"), $"f_seg".as("g_seg"),
-          $"f_bal".as("g_bal")), Seq("id"))
-        .agg(sum(($"f_name" === $"g_name").cast("long")).as("m_name"),
-          sum(($"f_seg" === $"g_seg").cast("long")).as("m_seg"),
-          sum(($"f_bal" === $"g_bal").cast("long")).as("m_bal"))
-      val tb = corpus.groupBy($"blk").agg(count(lit(1)).as("nb"))
-        .agg(sum(expr("nb * (nb - 1) div 2")).as("t_pairs"))
-      def agreePairs(fld: String) = corpus
-        .groupBy($"blk", col(fld)).agg(count(lit(1)).as("cv"))
-        .agg(sum(expr("cv * (cv - 1) div 2")).as(s"a_$fld"))
-      val a = agreePairs("f_name").crossJoin(agreePairs("f_seg"))
-        .crossJoin(agreePairs("f_bal")).crossJoin(broadcast(tb))
-        .crossJoin(broadcast(truth)).crossJoin(broadcast(nn))
+      val a = fsLinkageStats(s, dir)
         .localCheckpoint() // one row; reused by the 3-way unpivot
       def fieldRow(name: String, mCol: String, aCol: String) = a.select(
         lit(name).as("field"),

@@ -789,4 +789,100 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.queryExecution.analyzed.toString.contains("levenshtein"),
       "native levenshtein verify missing from the plan")
   }
+
+  // ----- round-9 flagship shapes (the engineering each one headlines) -----
+
+  test("q321 capped AA: the deg<=cap filter sits INSIDE the wedge fanout join") {
+    // the whole point of the dial: capped centers never fan out. The
+    // optimized plan must show exactly one x<x2 wedge join, and the
+    // cap filter (deg <= AaCap) strictly below it — a refactor that
+    // caps AFTER the self-join would stay oracle-green while
+    // restoring the full Σdeg² cost.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Filter => LFilter}
+    val df = SparkEntry.queries("q321_adamic_adar_capped")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.optimizedPlan
+    val fanouts = plan.collect {
+      case j: Join if j.condition.exists(_.toString.contains(" < ")) => j
+    }
+    assert(fanouts.size == 1, s"expected exactly one wedge fanout join:\n$plan")
+    val capBelow = fanouts.head.children.exists(_.collectFirst {
+      case f: LFilter
+          if f.condition.toString.contains(s"<= ${operators.Round9Queries.AaCap}") => f
+    }.isDefined)
+    assert(capBelow, s"cap filter not below the wedge fanout join:\n$plan")
+    // and nothing above the fanout re-filters on deg — the cap is the
+    // ONLY degree gate, applied once, before the fanout
+    val capAbove = plan.collectFirst {
+      case f: LFilter
+          if f.condition.toString.contains(s"<= ${operators.Round9Queries.AaCap}") &&
+            !fanouts.head.exists(_ eq f) => f
+    }
+    assert(capAbove.isEmpty, s"a second cap filter sits above the fanout:\n$plan")
+  }
+
+  test("q322 typed profile avoids the Expand shape (stack unpivot, map-side dedup)") {
+    // same rule as q125: the multi-count-distinct form would Expand
+    // every lineitem row 4x ahead of the shuffle
+    val df = SparkEntry.queries("q322_column_profile")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Expand"), s"profile degenerated into Expand:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"per-value aggregate not map-side combined:\n$plan")
+  }
+
+  test("q340 PPR: every rank-push join sees a frontier-filtered rank side") {
+    // locality is the operator's reason to exist: nodes with r=0 must
+    // be filtered BELOW the push join, so unreached nodes never join
+    // against the edge list. Dropping the r>0 filter would stay
+    // oracle-green (0-rank terms add 0) while turning each round into
+    // a full-graph push.
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    val df = SparkEntry.queries("q340_personalized_pagerank")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.optimizedPlan
+    def hasFrontierFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst {
+        case f: LFilter if f.condition.exists {
+          case GreaterThan(_, Literal(v, _)) => v == 0 || v == 0L
+          case _ => false
+        } => f
+      }.isDefined
+    val pushJoins = plan.collect { case j: Join if j.joinType == Inner => j }
+    assert(pushJoins.nonEmpty, s"no push joins found:\n$plan")
+    // 3 unrolled rounds: rounds 2-3 carry the explicit r>0 frontier
+    // filter below their push join; round 1's frontier (seeds only)
+    // is constant-folded into the seed predicate pushed into the scan
+    val filtered = pushJoins.count(j => j.children.exists(hasFrontierFilter))
+    assert(filtered >= 2,
+      s"frontier filter missing below the rank-push joins ($filtered):\n$plan")
+  }
+
+  test("q335 FS weights: agreement stats come from group sizes, never a pair join") {
+    // the operator's claim is 'no pair is ever materialized': the only
+    // keyed join is the 1:1 truth compare on id, the only unkeyed
+    // joins are one-row scalar broadcasts, and NO join keys on the
+    // block column (a blk-keyed join of two corpus-sized sides IS the
+    // pair enumeration the counts exist to avoid). Asserted on the
+    // pre-checkpoint stats DAG (the query hides it behind a
+    // localCheckpoint).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = operators.Round9fQueries.fsLinkageStats(spark, TestSpark.Sf)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"expected the truth join + scalar crosses:\n$plan")
+    joins.foreach { j =>
+      j.condition match {
+        case Some(c) =>
+          assert(!c.references.exists(_.name == "blk"),
+            s"pair-enumeration join keyed on the block column:\n$plan")
+        case None =>
+          // cross joins are only legal between one-row global aggregates
+          assert(j.children.forall(_.collectFirst {
+            case a: Aggregate if a.groupingExpressions.isEmpty => a
+          }.isDefined), s"cross join of non-scalar inputs:\n$plan")
+      }
+    }
+  }
 }

@@ -68,16 +68,11 @@ class Round8abSpec extends AnyFunSuite {
     // Spark's `div` always returns BIGINT, so the halved C(n,2) must be
     // re-cast to DECIMAL(38,0) before multiplying by ix / (sa+sb) — at
     // n ~ 2e6 the products reach ~2e24 and the un-recast form wraps (or
-    // throws under ANSI). Pin the shipped expression against a
-    // BigInt-exact recompute at that scale.
-    val ariExpr = """CAST(floor(
-        CAST(2 * CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
-               AS DECIMAL(38,0)) * ix
-             - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
-        / CAST(CAST(CAST(n AS DECIMAL(38,0)) * (n - 1) div 2
-               AS DECIMAL(38,0)) * (sa + sb)
-             - 2 * CAST(sa AS DECIMAL(38,0)) * sb AS DOUBLE)
-        * 1000000 + 0.5) AS BIGINT)"""
+    // throws under ANSI). Pin the SHIPPED expression (the shared
+    // Round8abQueries.AriExprSql constant — the exact string the query
+    // evaluates, so an edit to the production SQL re-runs this pin)
+    // against a BigInt-exact recompute at that scale.
+    val ariExpr = operators.Round8abQueries.AriExprSql
     val (n, ix, sa, sb) = (2000000L, 987654321098L, 1543219876543L, 1212121212121L)
     val got = Seq((n, ix, sa, sb)).toDF("n", "ix", "sa", "sb")
       .select(expr(ariExpr).as("ari_micro")).head.getLong(0)

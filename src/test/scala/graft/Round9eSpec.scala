@@ -113,10 +113,12 @@ class Round9eSpec extends AnyFunSuite {
   test("q332 expected-events term stays exact past the int64 product boundary") {
     // 1000000·dd·na wraps int64 once dd·na > ~9.2e12 (cohorts ~3e6+);
     // the shipped term carries the product in DECIMAL(38,0). Pin the
-    // expression at that scale against a BigInt recompute.
+    // SHIPPED expression (the shared Round9eQueries.ExpEventsSql
+    // constant — the exact string the query sums, so an edit to the
+    // production SQL re-runs this pin) against a BigInt recompute.
     val (dd, na, n) = (4000000L, 3500000L, 7000000L)
     val got = Seq((dd, na, n)).toDF("dd", "na", "n")
-      .select(expr("CAST(1000000 AS DECIMAL(38,0)) * dd * na div n").as("e"))
+      .select(expr(operators.Round9eQueries.ExpEventsSql).as("e"))
       .head.getLong(0)
     val expected = (BigInt(1000000) * dd * na / n).toLong
     assert(got == expected)
