@@ -21,15 +21,17 @@ object Round6Queries {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  /** DuckDB rendering of TextAnalysis.normText (same as ExtQueries). */
-  private val normSql =
+  /** DuckDB rendering of TextAnalysis.normText (same as ExtQueries).
+    * Shared with Round11Queries' composed pipeline oracle. */
+  private[operators] val normSql =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
 
-  /** Whitespace token count of the normalized text, empty-safe. */
-  private def tokCount(norm: Column): Column =
+  /** Whitespace token count of the normalized text, empty-safe.
+    * Shared with Round11Queries' composed pipeline. */
+  private[operators] def tokCount(norm: Column): Column =
     when(norm === "", lit(0L)).otherwise(size(split(norm, " ")).cast("long"))
 
-  private val tokCountSql =
+  private[operators] val tokCountSql =
     s"CASE WHEN $normSql = '' THEN 0 ELSE len(string_split($normSql, ' ')) END"
 
   val queries: Seq[(String, QFn, Option[String])] = Seq(

@@ -26,6 +26,127 @@ object Round8tQueries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** q272's oracle, shared verbatim by q354's staged form (the staged
+    * execution is a pure physical re-plan — the answer is defined to
+    * be bit-identical, so both gate against the same SQL).
+    */
+  private[graft] val LocalCcOracleSql = """
+      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM lineitem),
+      e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM items a JOIN items b ON a.ok = b.ok WHERE a.pk < b.pk),
+      deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      keyed AS (SELECT e.a, e.b, da.deg AS da, db.deg AS db
+        FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+      oriented AS (SELECT
+          CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS src,
+          CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS dst
+        FROM keyed),
+      wedge AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+        FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+        WHERE o1.dst < o2.dst),
+      tris AS (SELECT w.src, w.x, w.y FROM wedge w
+        WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y)),
+      pern AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM
+          (SELECT src AS v FROM tris UNION ALL SELECT x FROM tris
+           UNION ALL SELECT y FROM tris) GROUP BY 1),
+      cc AS (SELECT d.v, d.deg, coalesce(p.tri, 0) AS tri,
+          CAST(1000000 * 2 * coalesce(p.tri, 0)
+            // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT) AS cc_micro
+        FROM deg d LEFT JOIN pern p ON d.v = p.v WHERE d.deg >= 2)
+      SELECT CASE WHEN cc_micro >= 1000000 THEN 9
+          ELSE cc_micro // 100000 END AS cc_bucket,
+        CAST(count(*) AS BIGINT) AS n_nodes,
+        CAST(sum(tri) AS BIGINT) AS tri_sum,
+        CAST(sum(deg) AS BIGINT) AS deg_sum
+      FROM cc GROUP BY 1 ORDER BY 1"""
+
+  /** q272's shared graph inputs: the deduped co-purchase edge list
+    * (checkpointed — degree, orientation and the closure semi-join
+    * all reuse it), per-node degrees, and the degree-ordered
+    * orientation (each triangle enumerated once, at its
+    * minimal-(deg,id) vertex).
+    */
+  private def ccInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val items = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
+      .filter($"a" < $"b").select($"a", $"b").distinct()
+      .localCheckpoint() // deg + orientation + closure share it
+    val deg = e.select($"a".as("v")).unionByName(e.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val keyed = e
+      .join(deg.select($"v".as("a"), $"deg".as("da")), Seq("a"))
+      .join(deg.select($"v".as("b"), $"deg".as("db")), Seq("b"))
+    val oriented = keyed.select(
+      when(struct($"da", $"a") < struct($"db", $"b"), $"a").otherwise($"b").as("src"),
+      when(struct($"da", $"a") < struct($"db", $"b"), $"b").otherwise($"a").as("dst"))
+    (e, deg, oriented)
+  }
+
+  /** q272's tail: per-node cc = 2·tri/(d·(d−1)) from the per-node
+    * triangle counts, histogrammed into ten micro-buckets.
+    */
+  private def ccHistogram(s: SparkSession, deg: DataFrame,
+      perNode: DataFrame): DataFrame = {
+    import s.implicits._
+    val cc = deg.join(perNode, Seq("v"), "left")
+      .filter($"deg" >= 2)
+      .select($"v", $"deg", coalesce($"tri", lit(0L)).as("tri"))
+      .withColumn("cc_micro", expr(
+        "CAST(1000000 * 2 * tri div (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) AS BIGINT)"))
+    cc.groupBy(expr("CASE WHEN cc_micro >= 1000000 THEN 9 " +
+        "ELSE cc_micro div 100000 END").as("cc_bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"tri").as("tri_sum"),
+        sum($"deg").as("deg_sum"))
+      .orderBy($"cc_bucket")
+  }
+
+  /** The staged (disk-bounded) form of q272: bit-identical result,
+    * executed as `slices` SEQUENTIAL sub-jobs. Slice b owns the
+    * wedges whose SECOND leg y falls in `pmod(hash(y), slices) = b`:
+    * a triangle is enumerated at exactly one oriented wedge
+    * (src, x, y), and that wedge lives in exactly one slice, so the
+    * per-slice per-node triangle counts are disjoint partial counts
+    * that SUM to the global counts. Each slice reduces to ≤ |V| rows
+    * and materializes eagerly before the next slice starts, so peak
+    * shuffle/spill disk is Σd_out²/slices instead of the whole wedge
+    * volume — the same per-task state bound as
+    * Round8zQueries.adamicAdarStaged (bench/r09_scale100_q272.json is
+    * the single-shot ×100 failure baseline). Degrees and the
+    * orientation are checkpointed once so slices re-scan, not
+    * recompute, them.
+    */
+  private[graft] def localClusteringStaged(s: SparkSession, dir: String,
+      slices: Int): DataFrame = {
+    import s.implicits._
+    val (e, deg0, oriented0) = ccInputs(s, dir)
+    val deg = deg0.localCheckpoint()
+    val oriented = oriented0.localCheckpoint()
+    val parts = (0 until slices).map { b =>
+      val wedge = oriented.toDF("src", "x")
+        .join(oriented.filter(pmod(hash($"dst"), lit(slices)) === b)
+          .toDF("src", "y"), Seq("src"))
+        .filter($"x" < $"y")
+      val tris = wedge
+        .join(e.select($"a".as("x"), $"b".as("y")), Seq("x", "y"), "left_semi")
+        .select($"src", $"x", $"y")
+      val pn = tris.select(explode(array($"src", $"x", $"y")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("tri"))
+        .localCheckpoint() // eager: THIS slice's job runs to completion here
+      // finished slice's shuffle lineage is now unreferenced; a GC lets
+      // the ContextCleaner drop its shuffle files before the next slice
+      if (slices > 1) System.gc()
+      pn
+    }
+    val perNode = parts.reduce(_ unionByName _)
+      .groupBy($"v").agg(sum($"tri").as("tri"))
+    ccHistogram(s, deg, perNode)
+  }
+
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ----- STL-lite seasonal decomposition --------------------------------
@@ -156,19 +277,7 @@ object Round8tQueries {
     // ten micro-buckets. The co-purchase projection graph, as q160.
     ("q272_local_clustering", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val items = Tables.t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val e = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
-        .filter($"a" < $"b").select($"a", $"b").distinct()
-        .localCheckpoint() // deg + orientation + closure share it
-      val deg = e.select($"a".as("v")).unionByName(e.select($"b".as("v")))
-        .groupBy($"v").agg(count(lit(1)).as("deg"))
-      val keyed = e
-        .join(deg.select($"v".as("a"), $"deg".as("da")), Seq("a"))
-        .join(deg.select($"v".as("b"), $"deg".as("db")), Seq("b"))
-      val oriented = keyed.select(
-        when(struct($"da", $"a") < struct($"db", $"b"), $"a").otherwise($"b").as("src"),
-        when(struct($"da", $"a") < struct($"db", $"b"), $"b").otherwise($"a").as("dst"))
+      val (e, deg, oriented) = ccInputs(s, dir)
       val wedge = oriented.toDF("src", "x").join(oriented.toDF("src", "y"), Seq("src"))
         .filter($"x" < $"y")
       val tris = wedge
@@ -176,47 +285,8 @@ object Round8tQueries {
         .select($"src", $"x", $"y")
       val perNode = tris.select(explode(array($"src", $"x", $"y")).as("v"))
         .groupBy($"v").agg(count(lit(1)).as("tri"))
-      val cc = deg.join(perNode, Seq("v"), "left")
-        .filter($"deg" >= 2)
-        .select($"v", $"deg", coalesce($"tri", lit(0L)).as("tri"))
-        .withColumn("cc_micro", expr(
-          "CAST(1000000 * 2 * tri div (CAST(deg AS DECIMAL(38,0)) * (deg - 1)) AS BIGINT)"))
-      cc.groupBy(expr("CASE WHEN cc_micro >= 1000000 THEN 9 " +
-          "ELSE cc_micro div 100000 END").as("cc_bucket"))
-        .agg(count(lit(1)).as("n_nodes"), sum($"tri").as("tri_sum"),
-          sum($"deg").as("deg_sum"))
-        .orderBy($"cc_bucket")
-    }, Some("""
-      WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        FROM lineitem),
-      e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
-        FROM items a JOIN items b ON a.ok = b.ok WHERE a.pk < b.pk),
-      deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
-          (SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-      keyed AS (SELECT e.a, e.b, da.deg AS da, db.deg AS db
-        FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
-      oriented AS (SELECT
-          CASE WHEN (da, a) < (db, b) THEN a ELSE b END AS src,
-          CASE WHEN (da, a) < (db, b) THEN b ELSE a END AS dst
-        FROM keyed),
-      wedge AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
-        FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
-        WHERE o1.dst < o2.dst),
-      tris AS (SELECT w.src, w.x, w.y FROM wedge w
-        WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y)),
-      pern AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM
-          (SELECT src AS v FROM tris UNION ALL SELECT x FROM tris
-           UNION ALL SELECT y FROM tris) GROUP BY 1),
-      cc AS (SELECT d.v, d.deg, coalesce(p.tri, 0) AS tri,
-          CAST(1000000 * 2 * coalesce(p.tri, 0)
-            // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT) AS cc_micro
-        FROM deg d LEFT JOIN pern p ON d.v = p.v WHERE d.deg >= 2)
-      SELECT CASE WHEN cc_micro >= 1000000 THEN 9
-          ELSE cc_micro // 100000 END AS cc_bucket,
-        CAST(count(*) AS BIGINT) AS n_nodes,
-        CAST(sum(tri) AS BIGINT) AS tri_sum,
-        CAST(sum(deg) AS BIGINT) AS deg_sum
-      FROM cc GROUP BY 1 ORDER BY 1""")),
+      ccHistogram(s, deg, perNode)
+    }, Some(LocalCcOracleSql)),
 
     // ----- hash-uniformity audit (chi-square) -----------------------------
     // The whole battery leans on "md5 buckets are uniform" (folds,

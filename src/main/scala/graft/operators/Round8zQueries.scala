@@ -46,6 +46,26 @@ object Round8zQueries {
   private[graft] def adamicAdar(s: SparkSession, dir: String,
       cap: Long): DataFrame = {
     import s.implicits._
+    val (pairs, sym, wts) = wedgeInputs(s, dir, cap)
+    val wedges = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
+      .join(sym.toDF("w", "x2"), Seq("w"))
+      .filter($"x" < $"x2")
+      .groupBy($"x", $"x2")
+      .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
+    wedges.join(pairs.select($"a".as("x"), $"b".as("x2")),
+        Seq("x", "x2"), "left_anti")
+      .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
+        $"aa_micro")
+      .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
+  }
+
+  /** Shared wedge inputs: the deduped co-purchase pair list
+    * (checkpointed — reused by both sym legs and the anti-join), its
+    * symmetric closure, and the cap-filtered micro-ln weight table.
+    */
+  private def wedgeInputs(s: SparkSession, dir: String, cap: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
     val items = Tables.t(s, dir, "lineitem")
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
     val pairs = items.toDF("ok", "a").join(items.toDF("ok", "b"), Seq("ok"))
@@ -60,15 +80,53 @@ object Round8zQueries {
         """CAST(1000000000000 div
            CAST(floor(ln(CAST(deg AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
            AS BIGINT)""").as("wm"))
-    val wedges = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
-      .join(sym.toDF("w", "x2"), Seq("w"))
-      .filter($"x" < $"x2")
-      .groupBy($"x", $"x2")
-      .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
-    wedges.join(pairs.select($"a".as("x"), $"b".as("x2")),
-        Seq("x", "x2"), "left_anti")
-      .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
-        $"aa_micro")
+    (pairs, sym, wts)
+  }
+
+  /** The staged (disk-bounded) form of [[adamicAdar]]: bit-identical
+    * result, executed as `slices` SEQUENTIAL sub-jobs. Slice b owns
+    * the x2-hash-slice `pmod(hash(x2), slices) = b` of the wedge
+    * space: because the slice key is a function of x2 alone, every
+    * (x, x2) wedge group lives entirely in one slice, so the
+    * per-slice aggregate is exact and the slice's top-20 is a
+    * superset of the global top-20's members in that slice — the
+    * union of per-slice top-20s re-sorted under the same total order
+    * IS the global top-20. Each slice materializes eagerly
+    * (localCheckpoint, ≤ 20 rows kept) before the next starts, so
+    * peak shuffle/spill disk is Σ_{deg≤cap} deg²/slices instead of
+    * the whole wedge volume at once — the per-task state bound that
+    * lets the ×30+ scale probes complete on one box where the
+    * single-shot form exhausts the spill disk (bench/r09_scale100_*
+    * are the failure baselines). The weight table is checkpointed
+    * once (≤ |V| rows) so slices don't recompute the degree scan.
+    */
+  private[graft] def adamicAdarStaged(s: SparkSession, dir: String,
+      cap: Long, slices: Int): DataFrame = {
+    import s.implicits._
+    val (pairs, sym, wts0) = wedgeInputs(s, dir, cap)
+    val wts = wts0.localCheckpoint()
+    val leg1 = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
+    val parts = (0 until slices).map { b =>
+      val wedges = leg1
+        .join(sym.toDF("w", "x2")
+          .filter(pmod(hash($"x2"), lit(slices)) === b), Seq("w"))
+        .filter($"x" < $"x2")
+        .groupBy($"x", $"x2")
+        .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
+      val top = wedges
+        .join(pairs.filter(pmod(hash($"b"), lit(slices)) === b)
+          .select($"a".as("x"), $"b".as("x2")), Seq("x", "x2"), "left_anti")
+        .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
+          $"aa_micro")
+        .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
+        .localCheckpoint() // eager: THIS slice's job runs to completion here
+      // the finished slice's shuffle lineage is now unreferenced; a GC
+      // lets the ContextCleaner drop its shuffle files before the next
+      // slice needs the disk (the whole point of staging)
+      if (slices > 1) System.gc()
+      top
+    }
+    parts.reduce(_ unionByName _)
       .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
   }
 

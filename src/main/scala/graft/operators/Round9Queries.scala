@@ -24,21 +24,11 @@ object Round9Queries {
     */
   val AaCap = 128L
 
-  def queries: Seq[(String, QFn, Option[String])] = Seq(
-
-    // ----- Adamic–Adar with the hub cap engaged ---------------------------
-    // The capped form q296's scaladoc names as "what production runs":
-    // wedge centers with deg(w) > 128 are excluded BEFORE the Σdeg²
-    // self-join (see Round8zQueries.adamicAdar — the cap is an inner
-    // join onto one wedge leg, so hubs never fan out). The bias is
-    // explicit and documented: pairs whose common neighbors are ALL
-    // high-degree hubs drop out entirely, and every retained score is
-    // a lower bound on the exact AA score. Round9Spec quantifies the
-    // bias on this corpus by diffing against q296. The oracle
-    // interpolates AaCap into its HAVING clause (s-interpolator), so
-    // turning the dial can never silently desynchronize the two sides.
-    ("q321_adamic_adar_capped", (s: SparkSession, dir: String) =>
-      Round8zQueries.adamicAdar(s, dir, AaCap), Some(s"""
+  /** q321's oracle, shared verbatim by q353's staged form (the staged
+    * execution is a pure physical re-plan — the answer is defined to
+    * be bit-identical, so both gate against the same SQL).
+    */
+  private[graft] val AaCappedOracleSql = s"""
       WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         FROM lineitem),
       pairs AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS cab
@@ -59,6 +49,22 @@ object Round9Queries {
         LEFT JOIN pairs p ON wd.x = p.a AND wd.x2 = p.b
         WHERE p.a IS NULL)
       SELECT x AS item_a, x2 AS item_b, n_common, aa_micro
-      FROM pred ORDER BY aa_micro DESC, item_a, item_b LIMIT 20"""))
+      FROM pred ORDER BY aa_micro DESC, item_a, item_b LIMIT 20"""
+
+  def queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- Adamic–Adar with the hub cap engaged ---------------------------
+    // The capped form q296's scaladoc names as "what production runs":
+    // wedge centers with deg(w) > 128 are excluded BEFORE the Σdeg²
+    // self-join (see Round8zQueries.adamicAdar — the cap is an inner
+    // join onto one wedge leg, so hubs never fan out). The bias is
+    // explicit and documented: pairs whose common neighbors are ALL
+    // high-degree hubs drop out entirely, and every retained score is
+    // a lower bound on the exact AA score. Round9Spec quantifies the
+    // bias on this corpus by diffing against q296. The oracle
+    // interpolates AaCap into its HAVING clause (s-interpolator), so
+    // turning the dial can never silently desynchronize the two sides.
+    ("q321_adamic_adar_capped", (s: SparkSession, dir: String) =>
+      Round8zQueries.adamicAdar(s, dir, AaCap), Some(AaCappedOracleSql))
   )
 }

@@ -43,6 +43,52 @@ class RegistrySpec extends AnyFunSuite {
     assert(dup.isEmpty, s"duplicate query numbers: ${dup.toSeq.sorted}")
   }
 
+  private lazy val operatorsMd = new String(java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get("/root/repo/docs/OPERATORS.md")), "UTF-8")
+
+  private lazy val lastVerified: Set[String] = {
+    val artifacts = new java.io.File("/root/repo").listFiles()
+      .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+    if (artifacts.isEmpty) Set.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        artifacts.maxBy(_.getName).toPath), "UTF-8")
+      "\"(q[0-9]+_[a-z0-9_]+)\"\\s*:\\s*\\{".r
+        .findAllMatchIn(txt).map(_.group(1)).toSet
+    }
+  }
+
+  test("every registry query is documented in docs/OPERATORS.md (no orphans)") {
+    // the index is the dedup-audit surface: an operator that never
+    // appears there was never screened against its neighbors (the
+    // round-9 audit found 9 duplicates exactly this way)
+    val ids = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    val documented = "q[0-9]{2,3}".r.findAllIn(operatorsMd).toSet
+    val orphans = (ids -- documented).toSeq.sorted
+    assert(orphans.isEmpty,
+      s"queries missing from docs/OPERATORS.md: $orphans")
+  }
+
+  test("queries added since the last CORRECTNESS artifact carry a dedup-audit ledger row") {
+    // every NEW operator must name its nearest existing sibling and
+    // what distinguishes it — the check the round-9 postmortem asked
+    // to automate. Ledger rows: | qNNN_slug | qMMM_slug | distinction |
+    val ledger = "\\|\\s*(q[0-9]+_[a-z0-9_]+)\\s*\\|\\s*(q[0-9]+_[a-z0-9_]+)\\s*\\|([^|]+)\\|".r
+      .findAllMatchIn(operatorsMd)
+      .map(m => m.group(1) -> (m.group(2), m.group(3).trim)).toMap
+    val fresh = (SparkEntry.queries.keySet -- lastVerified).toSeq.sorted
+    val missing = fresh.filterNot(ledger.contains)
+    assert(missing.isEmpty,
+      s"new queries without a dedup-audit ledger row in docs/OPERATORS.md: $missing")
+    fresh.foreach { q =>
+      val (sibling, why) = ledger(q)
+      assert(sibling != q, s"$q lists itself as its nearest sibling")
+      assert(SparkEntry.queries.contains(sibling),
+        s"$q's nearest sibling $sibling is not a registry query")
+      assert(why.nonEmpty, s"$q's ledger row has no distinction note")
+    }
+  }
+
   test("registry keeps every name the last CORRECTNESS artifact verified") {
     // a rename or deletion would silently erase a query's verification
     // history; growth (new names beyond the artifact) is expected
