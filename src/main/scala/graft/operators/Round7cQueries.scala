@@ -171,9 +171,8 @@ object Round7cQueries {
       val k = samp.agg(count(lit(1)).as("k"))
       val n = vals.agg(count(lit(1)).as("n"))
       val ps = Seq(25, 50, 75, 90).toDF("p")
-      val dwin = vals.groupBy($"cents").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum($"c").over(
-          Window.orderBy($"cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val dwin = graft.ext.GridCumulative.withRunningTotal(
+        vals.groupBy($"cents").agg(count(lit(1)).as("c")), "cents", "c", "cum")
       val est = ps.crossJoin(broadcast(k))
         .withColumn("idx", expr("(p * k + 99) div 100"))
         .join(srn, $"rn" === $"idx")

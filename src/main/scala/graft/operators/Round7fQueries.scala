@@ -111,9 +111,8 @@ object Round7fQueries {
       val ns = d.groupBy($"source").agg(count(lit(1)).as("n_s"))
       val tot = d.agg(count(lit(1)).as("n"))
       val sv = d.groupBy($"source", $"v").agg(count(lit(1)).as("c"))
-      val cv = d.groupBy($"v").agg(count(lit(1)).as("c"))
-        .withColumn("cum_c", sum($"c").over(
-          Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val cv = graft.ext.GridCumulative.withRunningTotal(
+          d.groupBy($"v").agg(count(lit(1)).as("c")), "v", "c", "cum_c")
         .select($"v", $"cum_c")
       val grid = d.select($"source").distinct().crossJoin(d.select($"v").distinct())
       val cums = grid.join(sv, Seq("source", "v"), "left")

@@ -48,10 +48,9 @@ object Round9kQueries {
           expr("""least(n, CAST(ceil(
               (n + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2) AS BIGINT) + 1)""")
             .as("hi_rank"))
-      val wv = Window.orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      c.groupBy($"v").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum($"cnt").over(wv))
+      val cumGrid = graft.ext.GridCumulative.withRunningTotal(
+        c.groupBy($"v").agg(count(lit(1)).as("cnt")), "v", "cnt", "cum")
+      cumGrid
         .crossJoin(broadcast(n))
         .agg(max($"n").as("n_rows"), max($"lo_rank").as("lo_rank"),
           max($"hi_rank").as("hi_rank"),
