@@ -885,4 +885,36 @@ class PlanQualitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q352 pipeline: one checkpointed funnel scan feeds all three consumers") {
+    // the composed pipeline's no-per-stage-rescan rule: the cumulative
+    // per-doc flag table is localCheckpointed ONCE and the weight
+    // branch, the sampler and the packer all read THAT — the plan must
+    // show one LogicalRDD id referenced from >= 3 places. A refactor
+    // that re-derived flags per consumer would stay oracle-green while
+    // multiplying the funnel cost by the consumer count.
+    import org.apache.spark.sql.execution.LogicalRDD
+    val df = SparkEntry.queries("q352_curation_pipeline")(spark, TestSpark.Sf)
+    val rdds = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRDD => l.rdd.id
+    }
+    val (topId, uses) = rdds.groupBy(identity).view.mapValues(_.size)
+      .maxBy(_._2)
+    assert(uses >= 3,
+      s"checkpointed funnel referenced $uses time(s) (rdd $topId) — expected the weight, sampler and packer branches to share it")
+  }
+
+  test("q352 pipeline: dimension-sized sides broadcast; no cartesian product") {
+    // the weight table (<= |sources| rows) and the packer's group
+    // offsets (|doc_id range|/65536 rows) must reach their corpus-side
+    // joins as broadcasts — a shuffle join keyed on `source` (20
+    // values) would be both slow and skewed at 100 TB
+    val df = SparkEntry.queries("q352_curation_pipeline")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the pipeline:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"weights/offsets joins not broadcast:\n$plan")
+  }
 }
