@@ -917,4 +917,79 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
       s"weights/offsets joins not broadcast:\n$plan")
   }
+
+  // ----- round-11 statistics layer ----------------------------------------
+  // The scale claim of the whole battery is "ranks/pairs come from
+  // bounded grids, never from sorting or pairing the data". These
+  // assertions pin the plan shapes that carry that claim.
+
+  test("q356/q357 grid ranks: no global sort of the data; rank grid joins broadcast") {
+    for (name <- Seq("q356_mann_whitney", "q357_kruskal_wallis")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // ranks must come from the per-value grid (two-phase counts), not
+      // a whole-table Window over rows: every Sort in the plan feeds a
+      // grid-sized window (bucketed by GridCumulative), and the only
+      // joins are broadcasts of grid/bounds/offset tables
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name shuffle-joins a grid-sized table:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"$name grid counts not two-phase:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name grid not broadcast:\n$plan")
+    }
+  }
+
+  test("q358 Kendall: pair mass from the bounded grid self-join, docs never pair") {
+    val df = SparkEntry.queries("q358_kendall_tau")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the only nested-loop is grid × grid (both sides aggregates of
+    // the scan); the doc scan itself must appear exactly once — a
+    // second scan or a sort-merge join would mean the N² pair space
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"grid self-join missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q358 pairs rows outside the bounded grid:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length <= 1,
+      s"q358 re-scans the corpus per pair leg:\n$plan")
+  }
+
+  test("q359 BH-FDR: seed fan-out partially aggregates before the shuffle") {
+    val df = SparkEntry.queries("q359_bh_fdr")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the S×N exploded rows must map-side combine into S×cells partial
+    // sums (Generate followed by a partial HashAggregate) — shuffling
+    // the fan-out raw would move S copies of the corpus
+    assert(plan.contains("Generate explode"),
+      s"seed fan-out missing:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, // perm partial+final, obs partial+final
+      s"fan-out not map-side combined:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"permutation/observed join not broadcast:\n$plan")
+  }
+
+  test("q361 Theil-Sen: slopes from the broadcast day-grid self-join only") {
+    val df = SparkEntry.queries("q361_theilsen_slope")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"day-grid self-join missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q361 shuffle-joins the bounded grid:\n$plan")
+    // events scanned once into the day grid; medians run on slope rows
+    assert("Scan parquet".r.findAllIn(plan).length <= 1,
+      s"q361 re-scans events:\n$plan")
+  }
+
+  test("q360 ERR: per-query windows partition by customer; no join anywhere") {
+    val df = SparkEntry.queries("q360_err_ranking")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"ERR needs no join:\n$plan")
+    assert(plan.contains("Window") && !plan.contains("No Partition Defined"),
+      s"rank window missing or unpartitioned:\n$plan")
+  }
 }
