@@ -60,7 +60,120 @@ object Round11bQueries {
           + (1.0 - CAST(sx AS DOUBLE)/(5.0*CAST(n AS DOUBLE))) * (1.0 - CAST(sx AS DOUBLE)/(5.0*CAST(n AS DOUBLE)))))
        AS kappa""")
 
-  private val GopherStops = Seq("the", "a", "of", "to", "and")
+  private[operators] val GopherStops = Seq("the", "a", "of", "to", "and")
+
+  /** Per-document Gopher rule flags (see q355) — shared with q371's
+    * Cochran Q so both sides of both queries compute the rules from
+    * ONE definition. Returns (doc_id, source, r_wc..r_sym).
+    */
+  private[operators] def gopherDoc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables.t(s, dir, "documents"))
+    val base = docs
+      .select($"doc_id", $"source", $"text", TA.normText($"text").as("nt"))
+      .withColumn("a", split($"nt", " "))
+      .withColumn("wc",
+        when($"nt" === "", 0L).otherwise(size($"a").cast("long")))
+      .filter($"wc" > 0)
+      .withColumn("sumlen", (length($"nt") - ($"wc" - 1)).cast("long"))
+      .withColumn("n_alpha",
+        size(filter($"a", w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stopkinds",
+        GopherStops.map(w => array_contains($"a", w).cast("long"))
+          .reduce(_ + _))
+      .withColumn("n_sym",
+        (length($"text") - length(expr("replace(text, '#', '')"))).cast("long") +
+          ((length($"text") - length(expr("replace(text, '...', '')"))) / 3)
+            .cast("long"))
+    val rep = base.select($"doc_id", explode($"a").as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("maxw"))
+    base.join(rep, Seq("doc_id"))
+      .withColumn("r_wc", $"wc" >= 50 && $"wc" <= 100000)
+      .withColumn("r_mwl",
+        $"sumlen" >= lit(3) * $"wc" && $"sumlen" <= lit(10) * $"wc")
+      .withColumn("r_alpha", lit(5) * $"n_alpha" >= lit(4) * $"wc")
+      .withColumn("r_stop", $"n_stopkinds" >= 2)
+      .withColumn("r_rep", lit(10) * $"maxw" <= $"wc")
+      .withColumn("r_sym", lit(10) * $"n_sym" <= $"wc")
+      .select($"doc_id", $"source", $"r_wc", $"r_mwl", $"r_alpha",
+        $"r_stop", $"r_rep", $"r_sym")
+  }
+
+  /** DuckDB CTE chain ending in `f(doc_id, source, r_wc..r_sym)` —
+    * the oracle rendering of [[gopherDoc]], shared by q355 and q371.
+    */
+  private[operators] val GopherDocSql: String = {
+    val norm = TA.normTextSql
+    val stopSum = GopherStops.map(w =>
+      s"CASE WHEN list_contains(a, '$w') THEN 1 ELSE 0 END").mkString(" + ")
+    s"""b AS (SELECT doc_id, source, text, $norm AS nt FROM documents),
+      b2 AS (SELECT doc_id, source, text, nt, string_split(nt, ' ') AS a,
+          CAST(CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS BIGINT) AS wc
+        FROM b),
+      b3 AS (SELECT doc_id, source, a, wc,
+          CAST(len(nt) - (wc - 1) AS BIGINT) AS sumlen,
+          CAST(len(list_filter(a, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+          CAST($stopSum AS BIGINT) AS n_stopkinds,
+          CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+            + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym
+        FROM b2 WHERE wc > 0),
+      rep AS (SELECT doc_id, max(c) AS maxw FROM (
+          SELECT doc_id, w, count(*) AS c
+          FROM (SELECT doc_id, unnest(a) AS w FROM b3) GROUP BY 1, 2)
+        GROUP BY 1),
+      f AS (SELECT b3.doc_id, b3.source,
+          (wc >= 50 AND wc <= 100000) AS r_wc,
+          (sumlen >= 3*wc AND sumlen <= 10*wc) AS r_mwl,
+          (5*n_alpha >= 4*wc) AS r_alpha,
+          (n_stopkinds >= 2) AS r_stop,
+          (10*maxw <= wc) AS r_rep,
+          (10*n_sym <= wc) AS r_sym
+        FROM b3 JOIN rep USING (doc_id))"""
+  }
+
+  /** Grid-derived rank-sum tables over (source, n_chars) — shared by
+    * q357 (Kruskal–Wallis) and q366 (Dunn post-hoc): per-source
+    * (nj, rj2 = 2·rank-sum as DECIMAL) and the scalar (n, tsum =
+    * Σ(t³−t)) totals. Ranks come from the distinct-value grid via
+    * GridCumulative — no global sort anywhere.
+    */
+  private[operators] def sourceRankTables(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val d = Tables.t(s, dir, "documents").select($"source", $"n_chars")
+    val grid = d.groupBy($"n_chars").agg(count(lit(1)).as("c"))
+    val cum = GridCumulative.withRunningTotal(grid, "n_chars", "c", "cumc")
+      .withColumn("ar2", lit(2) * ($"cumc" - $"c") + $"c" + 1)
+    val totals = cum.agg(
+      sum($"c").as("n"),
+      sum($"c".cast("decimal(38,0)") * $"c" * $"c" - $"c").as("tsum"))
+    val rj = d.groupBy($"source", $"n_chars")
+      .agg(count(lit(1)).as("cs"))
+      .join(broadcast(cum.select($"n_chars", $"ar2")), Seq("n_chars"))
+      .groupBy($"source").agg(
+        sum($"cs").as("nj"),
+        sum($"cs".cast("decimal(38,0)") * $"ar2").as("rj2"))
+    (rj, totals)
+  }
+
+  /** DuckDB CTE chain ending in `rj(source, nj, rj2)` and `tot(n,
+    * tsum)` — the oracle rendering of [[sourceRankTables]].
+    */
+  private[operators] val SourceRankSql: String = """
+      d AS (SELECT source, n_chars FROM documents),
+      g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
+      g2 AS (SELECT *,
+          sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cumc
+        FROM g),
+      g3 AS (SELECT n_chars, c, 2*(cumc - c) + c + 1 AS ar2 FROM g2),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+          sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tsum FROM g3),
+      ps AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cs
+        FROM d GROUP BY 1, 2),
+      rj AS (SELECT source, CAST(sum(cs) AS BIGINT) AS nj,
+          sum(CAST(cs AS DECIMAL(38,0)) * ar2) AS rj2
+        FROM ps JOIN g3 USING (n_chars) GROUP BY source)"""
 
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -77,34 +190,7 @@ object Round11bQueries {
     // corpus token count, same as q16's), one per-source rollup.
     ("q355_gopher_rules", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val docs = Tables.spread(Tables.t(s, dir, "documents"))
-      val base = docs
-        .select($"doc_id", $"source", $"text", TA.normText($"text").as("nt"))
-        .withColumn("a", split($"nt", " "))
-        .withColumn("wc",
-          when($"nt" === "", 0L).otherwise(size($"a").cast("long")))
-        .filter($"wc" > 0)
-        .withColumn("sumlen", (length($"nt") - ($"wc" - 1)).cast("long"))
-        .withColumn("n_alpha",
-          size(filter($"a", w => w.rlike("[a-z]"))).cast("long"))
-        .withColumn("n_stopkinds",
-          GopherStops.map(w => array_contains($"a", w).cast("long"))
-            .reduce(_ + _))
-        .withColumn("n_sym",
-          (length($"text") - length(expr("replace(text, '#', '')"))).cast("long") +
-            ((length($"text") - length(expr("replace(text, '...', '')"))) / 3)
-              .cast("long"))
-      val rep = base.select($"doc_id", explode($"a").as("w"))
-        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id").agg(max($"c").as("maxw"))
-      base.join(rep, Seq("doc_id"))
-        .withColumn("r_wc", $"wc" >= 50 && $"wc" <= 100000)
-        .withColumn("r_mwl",
-          $"sumlen" >= lit(3) * $"wc" && $"sumlen" <= lit(10) * $"wc")
-        .withColumn("r_alpha", lit(5) * $"n_alpha" >= lit(4) * $"wc")
-        .withColumn("r_stop", $"n_stopkinds" >= 2)
-        .withColumn("r_rep", lit(10) * $"maxw" <= $"wc")
-        .withColumn("r_sym", lit(10) * $"n_sym" <= $"wc")
+      gopherDoc(s, dir)
         .groupBy($"source").agg(
           count(lit(1)).as("n_docs"),
           sum($"r_wc".cast("long")).as("p_wc"),
@@ -117,33 +203,8 @@ object Round11bQueries {
             $"r_sym").cast("long")).as("p_all"))
         .orderBy($"source")
     }, Some {
-      val norm = TA.normTextSql
-      val stopSum = GopherStops.map(w =>
-        s"CASE WHEN list_contains(a, '$w') THEN 1 ELSE 0 END").mkString(" + ")
       s"""
-      WITH b AS (SELECT doc_id, source, text, $norm AS nt FROM documents),
-      b2 AS (SELECT doc_id, source, text, nt, string_split(nt, ' ') AS a,
-          CAST(CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS BIGINT) AS wc
-        FROM b),
-      b3 AS (SELECT doc_id, source, a, wc,
-          CAST(len(nt) - (wc - 1) AS BIGINT) AS sumlen,
-          CAST(len(list_filter(a, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
-          CAST($stopSum AS BIGINT) AS n_stopkinds,
-          CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
-            + CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym
-        FROM b2 WHERE wc > 0),
-      rep AS (SELECT doc_id, max(c) AS maxw FROM (
-          SELECT doc_id, w, count(*) AS c
-          FROM (SELECT doc_id, unnest(a) AS w FROM b3) GROUP BY 1, 2)
-        GROUP BY 1),
-      f AS (SELECT b3.source,
-          (wc >= 50 AND wc <= 100000) AS r_wc,
-          (sumlen >= 3*wc AND sumlen <= 10*wc) AS r_mwl,
-          (5*n_alpha >= 4*wc) AS r_alpha,
-          (n_stopkinds >= 2) AS r_stop,
-          (10*maxw <= wc) AS r_rep,
-          (10*n_sym <= wc) AS r_sym
-        FROM b3 JOIN rep USING (doc_id))
+      WITH $GopherDocSql
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS p_wc,
         CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS p_mwl,
@@ -216,21 +277,9 @@ object Round11bQueries {
     // raw and tie-adjusted.
     ("q357_kruskal_wallis", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val d = Tables.t(s, dir, "documents").select($"source", $"n_chars")
-      val grid = d.groupBy($"n_chars").agg(count(lit(1)).as("c"))
-      val cum = GridCumulative.withRunningTotal(grid, "n_chars", "c", "cumc")
-        .withColumn("ar2", lit(2) * ($"cumc" - $"c") + $"c" + 1)
-      val totals = cum.agg(
-        sum($"c").as("n"),
-        sum($"c".cast("decimal(38,0)") * $"c" * $"c" - $"c").as("tsum"))
-      val perSrc = d.groupBy($"source", $"n_chars")
-        .agg(count(lit(1)).as("cs"))
-        .join(broadcast(cum.select($"n_chars", $"ar2")), Seq("n_chars"))
-        .groupBy($"source").agg(
-          sum($"cs").as("nj"),
-          sum($"cs".cast("decimal(38,0)") * $"ar2").as("rj2"))
-        .withColumn("term",
-          expr("CAST(rj2 AS DOUBLE) * CAST(rj2 AS DOUBLE) / CAST(nj AS DOUBLE)"))
+      val (rj, totals) = sourceRankTables(s, dir)
+      val perSrc = rj.withColumn("term",
+        expr("CAST(rj2 AS DOUBLE) * CAST(rj2 AS DOUBLE) / CAST(nj AS DOUBLE)"))
       perSrc.agg(
           count(lit(1)).as("k"),
           collect_list(struct($"source", $"term")).as("ts"))
@@ -244,20 +293,8 @@ object Round11bQueries {
           expr("""h / (1.0 - CAST(tsum AS DOUBLE) /
             (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)*CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))""")
             .as("h_tie_adj"))
-    }, Some("""
-      WITH d AS (SELECT source, n_chars FROM documents),
-      g AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1),
-      g2 AS (SELECT *,
-          sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cumc
-        FROM g),
-      g3 AS (SELECT n_chars, c, 2*(cumc - c) + c + 1 AS ar2 FROM g2),
-      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-          sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tsum FROM g3),
-      ps AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cs
-        FROM d GROUP BY 1, 2),
-      rj AS (SELECT source, CAST(sum(cs) AS BIGINT) AS nj,
-          sum(CAST(cs AS DECIMAL(38,0)) * ar2) AS rj2
-        FROM ps JOIN g3 USING (n_chars) GROUP BY source),
+    }, Some(s"""
+      WITH $SourceRankSql,
       tm AS (SELECT source,
           CAST(rj2 AS DOUBLE) * CAST(rj2 AS DOUBLE) / CAST(nj AS DOUBLE) AS term
         FROM rj),
