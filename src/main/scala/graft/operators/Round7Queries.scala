@@ -1739,11 +1739,13 @@ object Round7Queries {
           expr("((o_custkey - xmin) * 256) div (xmax - xmin + 1)").as("x_bin"),
           expr("((d - ymin) * 256) div (ymax - ymin + 1)").as("y_bin"))
         .withColumn("z", expr(sparkZ))
-      val zf = files.withColumn("file_id",
-          ntile(64).over(Window.orderBy($"z", $"o_orderkey")))
+      // two-level ntile (GridRank): the orders-scale layout assignment
+      // never single-tasks; bit-identical to the window ntile
+      val zf = graft.ext.GridRank
+        .withNtile(files, 64, "z", Seq($"o_orderkey"), "file_id")
         .withColumn("layout", lit("zorder"))
-      val ds = files.withColumn("file_id",
-          ntile(64).over(Window.orderBy($"y_bin", $"o_orderkey")))
+      val ds = graft.ext.GridRank
+        .withNtile(files, 64, "y_bin", Seq($"o_orderkey"), "file_id")
         .withColumn("layout", lit("datesort"))
       val stats = zf.unionByName(ds).groupBy($"layout", $"file_id")
         .agg(count(lit(1)).as("n_rows"),

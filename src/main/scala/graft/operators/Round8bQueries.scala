@@ -155,8 +155,11 @@ object Round8bQueries {
         .select($"doc_id", $"logit",
           when($"lang" === "en", 1L).otherwise(0L).as("y"))
       val grid = scored.groupBy($"logit").agg(count(lit(1)).as("n_l"))
-      val wv = Window.orderBy($"logit").rowsBetween(Window.unboundedPreceding, -1)
-      val g2 = grid.withColumn("cum_prev", coalesce(sum($"n_l").over(wv), lit(0L)))
+      // the logit grid is NOT domain-bounded (distinct sums grow with
+      // the corpus) — two-level running total instead of a global window
+      val g2 = graft.ext.GridCumulative
+        .withRunningTotal(grid, "logit", "n_l", "__cum")
+        .withColumn("cum_prev", $"__cum" - $"n_l").drop("__cum")
       val tot = scored.agg(count(lit(1)).as("n"))
       val g3 = g2.crossJoin(broadcast(tot))
         .select($"logit",

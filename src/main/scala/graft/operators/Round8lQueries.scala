@@ -53,8 +53,8 @@ object Round8lQueries {
         .localCheckpoint() // threshold pass + coverage pass
       val cal = scored.filter($"is_cal")
       val nCal = cal.agg(count(lit(1)).as("n_cal"))
-      val thr = cal
-        .withColumn("rn", row_number().over(Window.orderBy($"logit", $"doc_id")))
+      val thr = graft.ext.GridRank
+        .withRowNumber(cal, "logit", Seq($"doc_id"), "rn") // two-level global rank
         .crossJoin(broadcast(nCal))
         .filter($"rn" === expr("(9 * (n_cal + 1) + 9) div 10"))
         .select($"logit".as("thr"))

@@ -300,9 +300,12 @@ object Round8mQueries {
                 .cast("string"))), 1, 8), 16, 10)
             .cast("long") % 2001 - 1000)
         .groupBy($"doc_id").agg(max($"n_chars").as("len"), sum($"w").as("logit"))
-      val ranked = scored
-        .withColumn("r1", row_number().over(Window.orderBy($"logit", $"doc_id")))
-        .withColumn("r2", row_number().over(Window.orderBy($"len", $"doc_id")))
+      // two-level global ranks (GridRank): the doc-scale total orders
+      // never pass through one task; bit-identical to the single-window
+      // form the oracle keeps
+      val ranked = graft.ext.GridRank.withRowNumber(
+        graft.ext.GridRank.withRowNumber(scored, "logit", Seq($"doc_id"), "r1"),
+        "len", Seq($"doc_id"), "r2")
       ranked
         .select(expr("CAST(r1 - r2 AS DECIMAL(38,0))").as("d"), lit(1L).as("one"))
         .agg(count($"one").as("n"), sum(expr("d * d")).as("sd2"))

@@ -984,6 +984,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q361 re-scans events:\n$plan")
   }
 
+  test("q244/q234/q204/q159: every window is partitioned (GridRank/GridCumulative engaged)") {
+    // these four carried the last DATA-SCALE unpartitioned windows
+    // (doc-scale score ranks, the unbounded logit grid, orders-scale
+    // layout ntiles). After adoption, any Window in their plans must
+    // declare a partition list — `Window [exprs], [part], [order]` has
+    // three bracket groups, the single-task form only two
+    for (name <- Seq("q244_spearman_scorers", "q234_conformal_coverage",
+        "q204_score_calibration", "q159_zorder_layout")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val windows = "Window \\[[^\\n]*".r.findAllIn(plan).toSeq
+      val partitioned = windows.count(w =>
+        "Window \\[[^\\n]*\\], \\[[^\\n]*\\], \\[".r.findFirstIn(w).isDefined)
+      // Catalyst folds the constant partitionBy(lit(0)) away on the
+      // helpers' <= buckets-row offset tables — those windows order by
+      // __bkt and are bounded by construction; anything else
+      // unpartitioned is a data-scale single-task window
+      val boundedOffsets = windows.count(w =>
+        "Window \\[[^\\n]*\\], \\[__bkt#\\d+L ASC".r.findFirstIn(w).isDefined)
+      assert(windows.nonEmpty, s"$name lost its windows entirely:\n$plan")
+      assert(windows.size == partitioned + boundedOffsets,
+        s"$name has ${windows.size - partitioned - boundedOffsets} data-scale unpartitioned window(s):\n${windows.mkString("\n")}")
+    }
+  }
+
   test("q360 ERR: per-query windows partition by customer; no join anywhere") {
     val df = SparkEntry.queries("q360_err_ranking")(spark, TestSpark.Sf)
     df.collect()
