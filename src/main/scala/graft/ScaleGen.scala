@@ -30,13 +30,20 @@ import org.apache.spark.sql.functions._
   * Remaining tables are copied verbatim (warmup queries read them).
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> [replicas=10]
+  *        [tables=documents,embeddings,lineitem]
+  * The optional 4th arg restricts which tables replicate (the rest
+  * copy verbatim) — a probe of the documents-only statistics layer
+  * has no reason to pay for a 600M-row lineitem replica.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <outDir> [replicas]")
+    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <outDir> [replicas] [tables]")
     val src = args(0)
     val out = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
+    val scaled: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("documents", "embeddings", "lineitem")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -52,6 +59,7 @@ object ScaleGen {
 
     // documents: shift ids, perturb every word with a replica suffix
     // (normText keeps [a-z0-9], so the digit suffix survives tokenization)
+    if (scaled("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docOff = docs.agg(max($"doc_id")).head().getLong(0) + 1
     replicate(docs, (d, i) =>
@@ -65,9 +73,11 @@ object ScaleGen {
             w => concat(w, lit(i.toString))), " ")).cast("long").as("n_chars")))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
     // embeddings: shift ids, sign-flip components per replica (md5-keyed,
     // so the flip pattern is deterministic and engine-reproducible)
+    if (scaled("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val embOff = emb.agg(max($"vec_id")).head().getLong(0) + 1
     replicate(emb, (e, i) =>
@@ -79,8 +89,10 @@ object ScaleGen {
         $"label"))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
     // lineitem: offset the graph keys per replica (disjoint graph copies)
+    if (scaled("lineitem")) {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val (okOff, pkOff, skOff) = {
       val r = li.agg(max($"l_orderkey"), max($"l_partkey"), max($"l_suppkey")).head()
@@ -94,9 +106,10 @@ object ScaleGen {
         .withColumn("l_suppkey", $"l_suppkey" + lit(i * skOff)))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
 
     // everything else: verbatim copy so warmups and scan-shaped queries run
-    for (name <- Tables.All if !Set("documents", "embeddings", "lineitem").contains(name)) {
+    for (name <- Tables.All if !(scaled intersect Set("documents", "embeddings", "lineitem")).contains(name)) {
       val from = java.nio.file.Paths.get(s"$src/$name.parquet")
       val to = java.nio.file.Paths.get(s"$out/$name.parquet")
       if (java.nio.file.Files.isRegularFile(from)) {

@@ -65,11 +65,21 @@ object Round11bQueries {
   /** Per-document Gopher rule flags (see q355) — shared with q371's
     * Cochran Q so both sides of both queries compute the rules from
     * ONE definition. Returns (doc_id, source, r_wc..r_sym).
+    *
+    * Deliberately shuffle-free and lambda-free: the top-word count
+    * comes from the max run length of the SORTED token array (an
+    * in-row fold — the ×100 probe showed the first-cut
+    * explode→(doc, word) shuffle costing 70× at 500k docs), and the
+    * alphabetic-word count is wc − |pure-digit words| via ONE
+    * regexp_count pass (the normalized alphabet is [a-z0-9 ], so
+    * "contains a letter" ≡ "not all digits"). The DuckDB oracle keeps
+    * the definitional unnest+group form — same values, different
+    * physical plan, which is the point.
     */
   private[operators] def gopherDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.spread(Tables.t(s, dir, "documents"))
-    val base = docs
+    docs
       .select($"doc_id", $"source", $"text", TA.normText($"text").as("nt"))
       .withColumn("a", split($"nt", " "))
       .withColumn("wc",
@@ -77,7 +87,7 @@ object Round11bQueries {
       .filter($"wc" > 0)
       .withColumn("sumlen", (length($"nt") - ($"wc" - 1)).cast("long"))
       .withColumn("n_alpha",
-        size(filter($"a", w => w.rlike("[a-z]"))).cast("long"))
+        $"wc" - expr("regexp_count(nt, '\\\\b[0-9]+\\\\b')").cast("long"))
       .withColumn("n_stopkinds",
         GopherStops.map(w => array_contains($"a", w).cast("long"))
           .reduce(_ + _))
@@ -85,10 +95,14 @@ object Round11bQueries {
         (length($"text") - length(expr("replace(text, '#', '')"))).cast("long") +
           ((length($"text") - length(expr("replace(text, '...', '')"))) / 3)
             .cast("long"))
-    val rep = base.select($"doc_id", explode($"a").as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id").agg(max($"c").as("maxw"))
-    base.join(rep, Seq("doc_id"))
+      .withColumn("maxw", expr(
+        """aggregate(array_sort(a),
+             named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+             (acc, x) -> named_struct(
+               'prev', x,
+               'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END,
+               'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)),
+             acc -> acc.best)"""))
       .withColumn("r_wc", $"wc" >= 50 && $"wc" <= 100000)
       .withColumn("r_mwl",
         $"sumlen" >= lit(3) * $"wc" && $"sumlen" <= lit(10) * $"wc")
@@ -325,12 +339,18 @@ object Round11bQueries {
       val stops = GopherStops
       val base = Tables.spread(Tables.t(s, dir, "documents"))
         .select($"doc_id", $"n_chars", TA.normText($"text").as("nt"))
-        .withColumn("a", split($"nt", " "))
+        // normText collapses runs to single spaces, so the word count
+        // is the space count + 1 — two codegen'd length passes; no
+        // split, no token array ever materializes for this query
         .withColumn("wc",
-          when($"nt" === "", 0L).otherwise(size($"a").cast("long")))
+          when($"nt" === "", 0L)
+            .otherwise((length($"nt") -
+              length(expr("replace(nt, ' ', '')")) + 1).cast("long")))
         .filter($"wc" > 0)
-        .withColumn("ns",
-          size(filter($"a", w => w.isInCollection(stops))).cast("long"))
+        // one codegen'd regex pass, not a per-token lambda (the ×100
+        // probe priced the lambda at ~30× on 35M tokens)
+        .withColumn("ns", expr(
+          s"regexp_count(nt, '\\\\b(${stops.mkString("|")})\\\\b')").cast("long"))
         .select(expr("CAST(n_chars AS BIGINT) * 2 div 100").as("la"),
           expr("10 * ns div wc").as("lb"))
       val grid = base.groupBy($"la", $"lb").agg(count(lit(1)).as("cnt"))
