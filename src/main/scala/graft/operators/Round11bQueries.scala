@@ -76,7 +76,7 @@ object Round11bQueries {
     * the definitional unnest+group form — same values, different
     * physical plan, which is the point.
     */
-  private[operators] def gopherDoc(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gopherDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.spread(Tables.t(s, dir, "documents"))
     docs

@@ -1018,4 +1018,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window") && !plan.contains("No Partition Defined"),
       s"rank window missing or unpartitioned:\n$plan")
   }
+
+  test("q372 ordinal association: pair mass from the bounded grid self-join only") {
+    val df = SparkEntry.queries("q372_ordinal_association")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the q358 contract: the only nested-loop is grid × grid; a
+    // sort-merge join or cartesian over rows would be the N² pair space
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"grid self-join missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q372 pairs rows outside the bounded grid:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length <= 1,
+      s"q372 re-scans lineitem per pair leg:\n$plan")
+  }
+
+  test("q378 Jonckheere: 2D dominance count over the grid, no pair join, windows partitioned") {
+    val df = SparkEntry.queries("q378_jonckheere")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // pair masses must come from windows over the dense grid — never a
+    // row-space join; the only nested-loop is the ≤20-row source-list
+    // broadcast that densifies the grid
+    assert(!plan.contains("CartesianProduct"),
+      s"q378 enumerates pairs:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q378 densify broadcast missing:\n$plan")
+    assert(!plan.contains("No Partition Defined"),
+      s"q378 has a data-scale unpartitioned window:\n$plan")
+  }
 }
