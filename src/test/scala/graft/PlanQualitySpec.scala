@@ -1047,4 +1047,95 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("No Partition Defined"),
       s"q378 has a data-scale unpartitioned window:\n$plan")
   }
+
+  test("q381 Lin CCC: keyed join of the two money streams, never a pair space") {
+    val df = SparkEntry.queries("q381_lin_ccc")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // orders ⋈ per-order revenue is an equi-join on the order key (the
+    // bucketed-join shape at cluster scale); each table scans once
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q381 joins without the order key:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length <= 2,
+      s"q381 re-scans a side:\n$plan")
+  }
+
+  test("q382/q383/q386 are one-scan fold aggregates: no join over rows, no window") {
+    for (name <- Seq("q382_krippendorff_alpha", "q383_hosmer_lemeshow",
+        "q386_mantel_haenszel")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$name shuffles a row join:\n$plan")
+      assert(!plan.contains("No Partition Defined"),
+        s"$name has a data-scale unpartitioned window:\n$plan")
+      assert("Scan parquet".r.findAllIn(plan).length <= 1,
+        s"$name scans the corpus more than once:\n$plan")
+    }
+  }
+
+  test("q385 weighted kappa: margins cross only on the bounded 10x10 grid") {
+    val df = SparkEntry.queries("q385_weighted_kappa")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // rt × ct is ≤10 × ≤10 and must broadcast; a sort-merge join or
+    // cartesian would mean the expected mass paired data-scale rows
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q385 margin cross not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q385 pairs rows outside the grid:\n$plan")
+  }
+
+  test("q387/q388 privacy ladders aggregate without Expand") {
+    // the k ladder is a rollup-WITHOUT-Expand by construction: one
+    // finest-grid aggregate re-aggregated upward. An Expand node would
+    // mean the scan is being multiplied per rung (the q125/q322 rule)
+    for (name <- Seq("q387_k_anonymity", "q388_l_diversity")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Expand"), s"$name multiplies the scan:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name row cross:\n$plan")
+    }
+  }
+
+  test("q389 t-closeness: the class x value grid comes from broadcasts only") {
+    val df = SparkEntry.queries("q389_t_closeness")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the full grid (incl. absent cells) is classes × sensitive values —
+    // both bounded aggregates; the densify cross and the cell lookup
+    // must broadcast, never shuffle-join row-scale relations
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q389 densify broadcast missing:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q389 shuffle-joins the grid:\n$plan")
+  }
+
+  test("q390 Good-Turing: successor lookup is a broadcast join, not a global window") {
+    val df = SparkEntry.queries("q390_good_turing")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // N_{r+1} must come from the r+1 self-join on the count-of-counts
+    // grid; a lead() window here would single-task the whole grid
+    assert(!plan.contains("No Partition Defined"),
+      s"q390 single-tasks the count grid:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q390 successor join not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q390 bottom-10 uses a global sort:\n$plan")
+  }
+
+  test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
+    val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("No Partition Defined"),
+      s"q391 has a data-scale unpartitioned window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q391 enumerates a pair space:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q391 top-20 uses a global sort:\n$plan")
+  }
 }
