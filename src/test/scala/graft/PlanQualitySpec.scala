@@ -1127,6 +1127,28 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q390 bottom-10 uses a global sort:\n$plan")
   }
 
+  test("q392/q393 split+normalize: windows partition by stratum, grids broadcast") {
+    for (name <- Seq("q392_stratified_split", "q393_quantile_normalization")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("No Partition Defined"),
+        s"$name single-tasks a data-scale window:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"$name shuffle-joins what should broadcast:\n$plan")
+    }
+  }
+
+  test("q394 Benford: digit spine broadcast, two-phase count aggregate") {
+    val df = SparkEntry.queries("q394_benford_audit")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"q394 digit counts not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"q394 shuffle-joins the 9-row spine:\n$plan")
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
