@@ -115,7 +115,7 @@ object Dedup {
     * (id, hs) projection (read again by every caller's verify
     * join-back) plus the deduped id_a < id_b candidate pairs from the
     * band equi-join. */
-  private def lshCandidates(hashedDocs: DataFrame, nBands: Int): (DataFrame, DataFrame) = {
+  private[graft] def lshCandidates(hashedDocs: DataFrame, nBands: Int): (DataFrame, DataFrame) = {
     val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
     val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
     val bands = (0 until nBands).map(b =>

@@ -34,7 +34,7 @@ object Round7Queries {
     * the oracle side of Dedup.minhashLshPairsHashed's shapes (same
     * template as ExtQueries' q21 oracle; repeated here because q136/q139
     * consume the intermediate tables, not just the verified pairs). */
-  private def minhashCandCte: String = {
+  private[operators] def minhashCandCte: String = {
     val mhDefs = (0 until 8).map(s => s"${Dedup.minhashSql(s)} AS m$s")
       .mkString(",\n        ")
     val bandSelects = (0 until 4).map(b =>

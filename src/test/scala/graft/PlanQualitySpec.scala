@@ -1149,6 +1149,40 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q394 shuffle-joins the 9-row spine:\n$plan")
   }
 
+  test("q395 conformal: quantile via broadcast interval join, no global sort") {
+    val df = SparkEntry.queries("q395_conformal_coverage")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the order statistic must come from the bounded value grid — a
+    // data-scale sort or unpartitioned rank window would be wrong
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q395 interval lookup not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q395 shuffle-joins the grid:\n$plan")
+  }
+
+  test("q396 LSH planner: candidates from the band equi-join, spine math broadcast") {
+    val df = SparkEntry.queries("q396_lsh_planner")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // candidate generation must stay the q21 band equi-join — an
+    // all-pairs cartesian over docs would defeat the planner's point
+    assert(!plan.contains("CartesianProduct"),
+      s"q396 enumerates all pairs:\n$plan")
+    assert(!plan.contains("No Partition Defined"),
+      s"q396 single-tasks a window:\n$plan")
+  }
+
+  test("q397 waterfill: one scan, fold over the source table only") {
+    val df = SparkEntry.queries("q397_token_budget_allocation")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length <= 1,
+      s"q397 re-scans the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"q397 shuffle-joins the 20-row table:\n$plan")
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
