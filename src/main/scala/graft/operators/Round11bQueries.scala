@@ -33,6 +33,68 @@ object Round11bQueries {
     */
   val FdrSeeds = 99
 
+  /** Shared permutation p-value table (source, nx, t_obs, p) for the
+    * multiplicity-control family — q359's BH step-up and q400's Holm
+    * step-down consume the SAME pipeline so the two procedures can
+    * never desynchronize their p-values. p-values are exact
+    * permutation ranks over md5-relabeled cells; the scan fans out
+    * FdrSeeds× but map-side combine reduces to seeds × cells partial
+    * sums before the shuffle.
+    */
+  private[operators] def fdrPvals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.spread(Tables.t(s, dir, "documents"))
+      .select($"doc_id", $"source", $"n_chars")
+    val obs = d.groupBy($"source")
+      .agg(sum($"n_chars").as("sx"), count(lit(1)).as("nx"))
+    val tot = obs.agg(sum($"sx").as("stot"), sum($"nx").as("ntot"))
+    val obsT = obs.crossJoin(broadcast(tot))
+      .withColumn("t_obs", expr(
+        "abs(CAST(sx AS DOUBLE)/CAST(nx AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE))"))
+      .withColumn("cell", expr("CAST(substring(source, 4) AS BIGINT) % 20"))
+    val perm = d
+      .select($"doc_id", $"n_chars",
+        explode(expr(s"sequence(1, $FdrSeeds)")).as("seed"))
+      .withColumn("cell", expr(
+        """CAST(conv(substring(md5(CAST(doc_id AS STRING) || '_' ||
+           CAST(seed AS STRING)), 1, 8), 16, 10) AS BIGINT) % 20"""))
+      .groupBy($"seed", $"cell")
+      .agg(sum($"n_chars").as("px"), count(lit(1)).as("pn"))
+      .crossJoin(broadcast(tot))
+      .withColumn("t_perm", expr(
+        "abs(CAST(px AS DOUBLE)/CAST(pn AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE))"))
+      .select($"cell", $"t_perm")
+    obsT.join(perm, Seq("cell"))
+      .groupBy($"source", $"nx", $"t_obs")
+      .agg(sum(($"t_perm" >= $"t_obs").cast("long")).as("n_ge"))
+      .withColumn("p", expr(s"CAST(1 + n_ge AS DOUBLE) / ${FdrSeeds + 1}.0"))
+  }
+
+  /** DuckDB CTE chain ending in `pv(source, nx, t_obs, p)` — the
+    * oracle rendering of [[fdrPvals]], shared by q359 and q400. */
+  private[operators] val FdrPvalSql: String = s"""d AS (SELECT doc_id, source, n_chars FROM documents),
+      obs AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sx,
+          CAST(count(*) AS BIGINT) AS nx FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(sx) AS BIGINT) AS stot,
+          CAST(sum(nx) AS BIGINT) AS ntot FROM obs),
+      ob2 AS (SELECT source, nx,
+          abs(CAST(sx AS DOUBLE)/CAST(nx AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE)) AS t_obs,
+          CAST(substr(source, 4) AS BIGINT) % 20 AS cell
+        FROM obs, tot),
+      pm AS (SELECT seed,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+            CAST(seed AS VARCHAR)), 1, 8))::BIGINT % 20 AS cell, n_chars
+        FROM d, range(1, ${FdrSeeds + 1}) t(seed)),
+      pc AS (SELECT seed, cell, CAST(sum(n_chars) AS BIGINT) AS px,
+          CAST(count(*) AS BIGINT) AS pn FROM pm GROUP BY 1, 2),
+      pt AS (SELECT cell,
+          abs(CAST(px AS DOUBLE)/CAST(pn AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE)) AS t_perm
+        FROM pc, tot),
+      pv AS (SELECT source, nx, t_obs,
+          CAST(1 + sum(CASE WHEN t_perm >= t_obs THEN 1 ELSE 0 END) AS DOUBLE)
+            / ${FdrSeeds + 1}.0 AS p
+        FROM ob2 JOIN pt USING (cell) GROUP BY 1, 2, 3)"""
+
   /** Mann–Whitney z from the exact integer grid aggregates — shared
     * verbatim between the Spark plan and the DuckDB oracle so the
     * IEEE op order is identical. Inputs: u1x2 = 2·U1 (exact), n1, n2,
@@ -425,34 +487,9 @@ object Round11bQueries {
     // the engine-portable hash both q110 and q352 validated.
     ("q359_bh_fdr", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val d = Tables.spread(Tables.t(s, dir, "documents"))
-        .select($"doc_id", $"source", $"n_chars")
-      val obs = d.groupBy($"source")
-        .agg(sum($"n_chars").as("sx"), count(lit(1)).as("nx"))
-      val tot = obs.agg(sum($"sx").as("stot"), sum($"nx").as("ntot"))
-      val obsT = obs.crossJoin(broadcast(tot))
-        .withColumn("t_obs", expr(
-          "abs(CAST(sx AS DOUBLE)/CAST(nx AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE))"))
-        .withColumn("cell", expr("CAST(substring(source, 4) AS BIGINT) % 20"))
-      val perm = d
-        .select($"doc_id", $"n_chars",
-          explode(expr(s"sequence(1, $FdrSeeds)")).as("seed"))
-        .withColumn("cell", expr(
-          """CAST(conv(substring(md5(CAST(doc_id AS STRING) || '_' ||
-             CAST(seed AS STRING)), 1, 8), 16, 10) AS BIGINT) % 20"""))
-        .groupBy($"seed", $"cell")
-        .agg(sum($"n_chars").as("px"), count(lit(1)).as("pn"))
-        .crossJoin(broadcast(tot))
-        .withColumn("t_perm", expr(
-          "abs(CAST(px AS DOUBLE)/CAST(pn AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE))"))
-        .select($"cell", $"t_perm")
-      val pvals = obsT.join(perm, Seq("cell"))
-        .groupBy($"source", $"nx", $"t_obs")
-        .agg(sum(($"t_perm" >= $"t_obs").cast("long")).as("n_ge"))
-        .withColumn("p", expr(s"CAST(1 + n_ge AS DOUBLE) / ${FdrSeeds + 1}.0"))
       val wRank = Window.partitionBy(lit(0)).orderBy($"p", $"source")
       val wAll = Window.partitionBy(lit(0))
-      pvals
+      fdrPvals(s, dir)
         .withColumn("krank", row_number().over(wRank).cast("long"))
         .withColumn("m", count(lit(1)).over(wAll))
         .withColumn("pass",
@@ -462,28 +499,7 @@ object Round11bQueries {
           ($"krank" <= $"kmax").as("rejected"))
         .orderBy($"source")
     }, Some(s"""
-      WITH d AS (SELECT doc_id, source, n_chars FROM documents),
-      obs AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sx,
-          CAST(count(*) AS BIGINT) AS nx FROM d GROUP BY 1),
-      tot AS (SELECT CAST(sum(sx) AS BIGINT) AS stot,
-          CAST(sum(nx) AS BIGINT) AS ntot FROM obs),
-      ob2 AS (SELECT source, nx,
-          abs(CAST(sx AS DOUBLE)/CAST(nx AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE)) AS t_obs,
-          CAST(substr(source, 4) AS BIGINT) % 20 AS cell
-        FROM obs, tot),
-      pm AS (SELECT seed,
-          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
-            CAST(seed AS VARCHAR)), 1, 8))::BIGINT % 20 AS cell, n_chars
-        FROM d, range(1, ${FdrSeeds + 1}) t(seed)),
-      pc AS (SELECT seed, cell, CAST(sum(n_chars) AS BIGINT) AS px,
-          CAST(count(*) AS BIGINT) AS pn FROM pm GROUP BY 1, 2),
-      pt AS (SELECT cell,
-          abs(CAST(px AS DOUBLE)/CAST(pn AS DOUBLE) - CAST(stot AS DOUBLE)/CAST(ntot AS DOUBLE)) AS t_perm
-        FROM pc, tot),
-      pv AS (SELECT source, nx, t_obs,
-          CAST(1 + sum(CASE WHEN t_perm >= t_obs THEN 1 ELSE 0 END) AS DOUBLE)
-            / ${FdrSeeds + 1}.0 AS p
-        FROM ob2 JOIN pt USING (cell) GROUP BY 1, 2, 3),
+      WITH $FdrPvalSql,
       rk AS (SELECT *,
           CAST(row_number() OVER (ORDER BY p, source) AS BIGINT) AS krank,
           CAST(count(*) OVER () AS BIGINT) AS m

@@ -1183,6 +1183,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q397 shuffle-joins the 20-row table:\n$plan")
   }
 
+  test("q398/q399 day-grid diagnostics: one events scan, grid-only joins") {
+    for (name <- Seq("q398_overdispersion", "q399_regression_influence")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert("Scan parquet".r.findAllIn(plan).length <= 1,
+        s"$name re-scans events:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$name shuffle-joins the day grid:\n$plan")
+    }
+  }
+
+  test("q400 Holm: permutation fan-out partially aggregates before the shuffle") {
+    val df = SparkEntry.queries("q400_holm_fwer")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the q359 contract on the shared fdrPvals pipeline: the seed
+    // fan-out must map-side combine to seeds × cells before shuffling
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"q400 permutation sums not map-side combined:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q400 row-level cross:\n$plan")
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
