@@ -1207,6 +1207,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q400 row-level cross:\n$plan")
   }
 
+  test("q401/q402/q403 embedding audits: one scan, two-phase aggregates, no joins over rows") {
+    for (name <- Seq("q401_embedding_isotropy", "q402_lsh_bucket_balance",
+        "q403_quantization_error")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert("Scan parquet".r.findAllIn(plan).length <= 1,
+        s"$name re-scans embeddings:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+        s"$name shuffle-joins rows:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"$name not map-side combined:\n$plan")
+    }
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
