@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ext.{TextAnalysis => TA}
+import graft.functions.{KmvBufferMd5, KmvDistinctMd5}
+
+/** Round-11 batch 12: engine-portable KMV sketch ALGEBRA — the
+  * md5-hashed variant of the KMV kernel (functions/KmvMd5.scala) whose
+  * buffers and pure-integer estimator (n̂ = ⌊(k−1)·2⁶⁴ / h_(k)⌋, BigInt
+  * here / HUGEINT `//` in the oracle) DuckDB replays bit-exactly.
+  * Three production shapes the relational KMV queries (q53/q202/q343)
+  * don't cover:
+  *
+  *  - q404 runs the sketch as a typed Aggregator INSIDE Structured
+  *    Streaming state (map-side combine to k longs per window, merged
+  *    across micro-batches) — the live distinct-users telemetry panel;
+  *  - q405 does SET OPERATIONS on persisted per-source buffers — the
+  *    pairwise union/Jaccard/intersection matrix q330 computes exactly,
+  *    re-derived from 20 k-sized arrays with no token ever re-scanned;
+  *  - q406 prefix-merges buffers in ingest order — the marginal
+  *    new-vocabulary curve behind "is another crawl worth ingesting".
+  *
+  * Float discipline: no doubles anywhere — hashes compare in unsigned
+  * integer order (sign-bit-flipped longs, so signed sorts work), and
+  * every estimate is one exact integer division.
+  */
+object Round11lQueries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val normSql = TA.normTextSql
+
+  /** (k−1)·2⁶⁴ for k=256 — the estimator numerator as a decimal literal. */
+  private val Num256 = "CAST(4703919738795935662080 AS DECIMAL(38,0))"
+
+  /** Unflip a sign-bit-flipped hash column back to its unsigned value in
+    * DECIMAL(38,0): unsigned(h) = flipped + 2⁶³ in true arithmetic. */
+  private def unflip(col: String) =
+    s"CAST($col AS DECIMAL(38,0)) + 9223372036854775808"
+
+  def queries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // ----- streaming windowed KMV: live distinct-users telemetry ----------
+    // q67 streams exact windowed COUNTS; this streams a mergeable
+    // DISTINCT sketch — the state per (day) key is the k=64-long buffer
+    // the typed Aggregator reduces into (map-side combine) and merges
+    // across micro-batches, never the user set itself. The oracle
+    // replays the buffer relationally: the k-th smallest md5 hash per
+    // day via order statistics, then the same integer estimate — the
+    // streaming state and the batch replay hash identically.
+    ("q404_stream_kmv_window", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q404")
+      java.nio.file.Files.createSymbolicLink(
+        tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = graft.streaming.EventStream
+        .streamFromParquetDir(s, tmp.toString)
+      val q = stream
+        .groupBy(window($"ts", "1 day"))
+        .agg(count(lit(1)).as("n_events"),
+          KmvDistinctMd5.udf(64)($"user_id".cast("string")).as("users_kmv"))
+        .select($"window.start".as("day_start"), $"n_events", $"users_kmv")
+        .writeStream.format("memory").queryName("q404_mem")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q404_mem").orderBy("day_start")
+    }, Some("""
+      WITH h AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS day_start,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+        FROM events),
+      r AS (SELECT day_start, h,
+          row_number() OVER (PARTITION BY day_start ORDER BY h) AS rn,
+          count(*) OVER (PARTITION BY day_start) AS nd FROM h),
+      e AS (SELECT day_start, max(nd) AS nd,
+          max(CASE WHEN rn = 64 THEN h END) AS hk FROM r GROUP BY 1),
+      c AS (SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+          CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1)
+      SELECT c.day_start, c.n_events,
+        CASE WHEN e.nd < 64 THEN CAST(e.nd AS BIGINT)
+          ELSE CAST((63::HUGEINT * 18446744073709551616::HUGEINT)
+            // greatest(CAST(e.hk AS HUGEINT), 1) AS BIGINT) END AS users_kmv
+      FROM c JOIN e USING (day_start) ORDER BY day_start""")),
+
+    // ----- sketch set operations: the overlap matrix from buffers ---------
+    // q330 computes the exact source-pair overlap matrix with a token
+    // equi-join that scales with the corpus; this re-derives the matrix
+    // from the 20 persisted k=256 buffers alone — union k-min by array
+    // merge, Jaccard numerator |kminU ∩ bufA ∩ bufB| (membership in the
+    // union's k smallest implies membership in each side's buffer), and
+    // the intersection size as J·|union|. ONE token pass ever happens
+    // (the buffer build, map-side combined to k longs per source); the
+    // matrix itself touches only 20 arrays. At 100 TB the buffers are
+    // the persisted per-source ingest state and this query is free.
+    ("q405_sketch_overlap_matrix", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      // 3-gram shingle space, not word tokens: the test corpus's word
+      // vocabulary (~31) is below k, which would leave every buffer in
+      // its exact regime — the q202 precedent (16k+ shingles) keeps the
+      // estimator genuinely engaged
+      val toks = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", explode(TA.shingles($"text", 3)).as("tok"))
+        .filter($"tok" =!= "")
+      val sk = toks.groupBy($"source")
+        .agg(KmvBufferMd5.udf(256)($"tok").as("buf"))
+      sk.toDF("sa", "ba").join(sk.toDF("sb", "bb"), $"sa" < $"sb")
+        .withColumn("u", expr("slice(array_sort(array_union(ba, bb)), 1, 256)"))
+        .withColumn("usize", expr("CAST(size(u) AS BIGINT)"))
+        .withColumn("j_num", expr(
+          "CAST(size(array_intersect(array_intersect(u, ba), bb)) AS BIGINT)"))
+        .withColumn("union_est", expr(s"""
+          CASE WHEN usize < 256 THEN usize
+            ELSE $Num256 div greatest(${unflip("element_at(u, 256)")},
+              CAST(1 AS DECIMAL(38,0))) END"""))
+        .select($"sa".as("source_a"), $"sb".as("source_b"),
+          $"j_num", $"union_est",
+          expr("1000000 * j_num div usize").as("jaccard_micro"),
+          expr("j_num * union_est div usize").as("inter_est"))
+        .orderBy($"source_a", $"source_b")
+    }, Some(s"""
+      WITH d AS (SELECT source, string_split($normSql, ' ') AS arr
+        FROM documents),
+      sh AS (SELECT source, unnest(list_transform(
+          range(1, greatest(len(arr) - 2, 1) + 1),
+          i -> array_to_string(arr[i:i+2], ' '))) AS tok FROM d),
+      st AS (SELECT DISTINCT source,
+          ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+        FROM sh WHERE tok <> ''),
+      buf AS (SELECT source, h FROM (SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM st)
+        WHERE rn <= 256),
+      pairs AS (SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM buf) a
+        JOIN (SELECT DISTINCT source FROM buf) b ON a.source < b.source),
+      uh AS (SELECT DISTINCT p.sa, p.sb, u.h
+        FROM pairs p JOIN buf u ON u.source = p.sa OR u.source = p.sb),
+      ur AS (SELECT sa, sb, h,
+          row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn,
+          count(*) OVER (PARTITION BY sa, sb) AS nd FROM uh),
+      kmin AS (SELECT sa, sb, h, nd FROM ur WHERE rn <= 256),
+      agg AS (SELECT k.sa, k.sb, least(max(k.nd), 256) AS usize,
+          max(k.h) AS hk,
+          CAST(count(*) FILTER (WHERE x.h IS NOT NULL AND y.h IS NOT NULL)
+            AS BIGINT) AS j_num
+        FROM kmin k
+        LEFT JOIN buf x ON x.source = k.sa AND x.h = k.h
+        LEFT JOIN buf y ON y.source = k.sb AND y.h = k.h
+        GROUP BY 1, 2)
+      SELECT sa AS source_a, sb AS source_b, j_num,
+        CASE WHEN usize < 256 THEN CAST(usize AS BIGINT)
+          ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+            // greatest(CAST(hk AS HUGEINT), 1) AS BIGINT) END AS union_est,
+        1000000 * j_num // usize AS jaccard_micro,
+        j_num * (CASE WHEN usize < 256 THEN CAST(usize AS BIGINT)
+          ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+            // greatest(CAST(hk AS HUGEINT), 1) AS BIGINT) END) // usize
+          AS inter_est
+      FROM agg ORDER BY source_a, source_b""")),
+
+    // ----- prefix-merge novelty curve: the data-acquisition planner -------
+    // q202 proves ONE global merge equals the direct sketch; this runs
+    // the merge INCREMENTALLY in ingest order (src0, src1, …) and
+    // differences the estimates — vocab_est after r sources and the
+    // marginal novelty source r added. The diminishing-returns curve a
+    // crawl-acquisition planner reads before paying for the next source,
+    // computed entirely from the 20 persisted buffers: the prefix
+    // expansion is ≤ |sources|²·k rows (roster-bounded, never corpus).
+    ("q406_vocab_novelty_curve", (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val toks = Tables.spread(Tables.t(s, dir, "documents"))
+        .select($"source", explode(TA.shingles($"text", 3)).as("tok"))
+        .filter($"tok" =!= "")
+      val sk = toks.groupBy($"source")
+        .agg(KmvBufferMd5.udf(256)($"tok").as("buf"))
+        .withColumn("r", expr("CAST(substring(source, 4, 8) AS BIGINT)"))
+      val hb = sk.select($"r".as("hr"), explode($"buf").as("h"))
+      val pre = sk.select($"r".as("step"), $"source")
+        .join(hb, $"hr" <= $"step")
+        .select($"step", $"source", $"h").distinct()
+      val w = Window.partitionBy($"step").orderBy($"h")
+      val grid = pre.withColumn("rn", row_number().over(w))
+        .groupBy($"step", $"source")
+        .agg(count(lit(1)).as("nd"),
+          max(when($"rn" === 256, $"h")).as("hk"))
+        .withColumn("vocab_est", expr(s"""
+          CASE WHEN nd < 256 THEN nd
+            ELSE $Num256 div greatest(${unflip("hk")},
+              CAST(1 AS DECIMAL(38,0))) END"""))
+      // the 20-row curve: roster-bounded window, not a data-scale sort
+      grid.withColumn("novelty_est",
+          $"vocab_est" - coalesce(
+            lag($"vocab_est", 1).over(Window.orderBy($"step")), lit(0L)))
+        .select($"step", $"source", $"vocab_est", $"novelty_est")
+        .orderBy($"step")
+    }, Some(s"""
+      WITH d AS (SELECT source, string_split($normSql, ' ') AS arr
+        FROM documents),
+      sh AS (SELECT source, unnest(list_transform(
+          range(1, greatest(len(arr) - 2, 1) + 1),
+          i -> array_to_string(arr[i:i+2], ' '))) AS tok FROM d),
+      st AS (SELECT DISTINCT source,
+          ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+        FROM sh WHERE tok <> ''),
+      buf AS (SELECT source, CAST(substr(source, 4) AS BIGINT) AS hr, h
+        FROM (SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM st)
+        WHERE rn <= 256),
+      steps AS (SELECT DISTINCT source, hr AS step FROM buf),
+      pre AS (SELECT DISTINCT s.step, s.source, b.h
+        FROM steps s JOIN buf b ON b.hr <= s.step),
+      g AS (SELECT step, source, count(*) AS nd,
+          max(CASE WHEN rn = 256 THEN h END) AS hk
+        FROM (SELECT step, source, h,
+          row_number() OVER (PARTITION BY step ORDER BY h) AS rn FROM pre)
+        GROUP BY 1, 2),
+      est AS (SELECT step, source,
+          CASE WHEN nd < 256 THEN CAST(nd AS BIGINT)
+            ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+              // greatest(CAST(hk AS HUGEINT), 1) AS BIGINT) END AS vocab_est
+        FROM g)
+      SELECT step, source, vocab_est,
+        vocab_est - coalesce(lag(vocab_est) OVER (ORDER BY step), 0)
+          AS novelty_est
+      FROM est ORDER BY step"""))
+  )
+}

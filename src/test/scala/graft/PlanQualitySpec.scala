@@ -1222,6 +1222,31 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q405/q406 KMV sketch algebra: one token pass, map-side combined to k-buffers") {
+    for (name <- Seq("q405_sketch_overlap_matrix", "q406_vocab_novelty_curve")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // the sketch shuffles k longs per source, not the token stream:
+      // partial buffer aggregation must sit below the exchange
+      assert(plan.contains("partial_kmvbuffermd5"),
+        s"$name buffer build not map-side combined:\n$plan")
+      // no (source, token) pre-distinct — the buffer IS the dedup
+      assert(!"HashAggregate\\(keys=\\[[^\\]]*tok".r.findFirstIn(plan).isDefined,
+        s"$name materializes a distinct token set:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name row-level cross join:\n$plan")
+    }
+    // the pair matrix reuses ONE buffer build for both join legs
+    val df = SparkEntry.queries("q405_sketch_overlap_matrix")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"q405 recomputes the token pass for the second leg:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"q405 pair join not broadcast:\n$plan")
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
