@@ -1247,6 +1247,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q405 pair join not broadcast:\n$plan")
   }
 
+  test("q407/q409 curation dials: broadcast grids, gram-keyed joins, no row-level cross") {
+    val df7 = SparkEntry.queries("q407_epoch_allocation")(spark, TestSpark.Sf)
+    df7.collect()
+    val p7 = df7.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the only joins are broadcasts of the 4-row decay grid and the
+    // 1-row total; source stats map-side combine
+    assert(!p7.contains("CartesianProduct"), s"q407 row-level cross:\n$p7")
+    assert(!p7.contains("SortMergeJoin"), s"q407 shuffles a roster join:\n$p7")
+    assert("HashAggregate".r.findAllIn(p7).length >= 2,
+      s"q407 source stats not map-side combined:\n$p7")
+    val df9 = SparkEntry.queries("q409_idf_contamination")(spark, TestSpark.Sf)
+    df9.collect()
+    val p9 = df9.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the n-gram is its own blocking key: every data-scale join is an
+    // equi-join on it; the corpus-size scalar broadcasts
+    assert(!p9.contains("CartesianProduct"), s"q409 row-level cross:\n$p9")
+    assert(p9.contains("BroadcastNestedLoopJoin") || p9.contains("BroadcastExchange"),
+      s"q409 corpus-size scalar not broadcast:\n$p9")
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
