@@ -441,4 +441,49 @@ object Dedup {
         graft.functions.ArrayJaccard.sortedLongJaccard(col("g_a"), col("g_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** `prefixFilterPairs` in EXACT integer arithmetic: the threshold is a
+    * micro value (600000 = 0.6), every PPJoin pruning rule is an exact
+    * rational comparison (the ceil of the prefix bound via integer
+    * (sz·t + 999999) div 1e6; the positional bound cross-multiplied so
+    * no ceil is needed at all: 1+min ≥ t(sa+sb)/(1e6+t) ⟺
+    * (1+min)(1e6+t) ≥ t(sa+sb), equivalent on integers), and the output
+    * Jaccard is floor-micro — so `j_micro >= tau` is exactly
+    * `J >= tau/1e6` and a threshold SWEEP over the result is
+    * oracle-replayable with zero float seams. Recall-lossless like the
+    * double form: every pair with J ≥ t/1e6 is produced.
+    *
+    * `docs` needs (id, grams) with grams SORTED DISTINCT longs (the
+    * verify is the codegen'd two-pointer SortedLongIntersect — the
+    * generic array_intersect verify measured 123 s vs the kernel's
+    * on the sf0.1 τ=0.5 sweep). */
+  def prefixFilterPairsMicro(docs: DataFrame, thresholdMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = thresholdMicro
+    val toks = docs.select(col("id"), size(col("grams")).cast("long").as("sz"),
+      explode(col("grams")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val pref = toks.join(freq, Seq("tok"))
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .filter(col("pos") <= col("sz") - expr(s"(sz * ${t}L + 999999L) div 1000000L") + 1)
+      .select(col("id"), col("tok"), col("sz"), col("pos"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
+          && col("b.sz") * lit(1000000L) >= col("a.sz") * lit(t)
+          && col("b.sz") * lit(t) <= col("a.sz") * lit(1000000L)
+          && (lit(1L) + least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")))
+            * lit(1000000L + t) >= lit(t) * (col("a.sz") + col("b.sz")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val ga = docs.select(col("id").as("id_a"), col("grams").as("g_a"))
+    val gb = docs.select(col("id").as("id_b"), col("grams").as("g_b"))
+    cand.join(ga, Seq("id_a")).join(gb, Seq("id_b"))
+      .withColumn("inter",
+        graft.functions.ArrayJaccard.sortedLongIntersect(col("g_a"), col("g_b")))
+      .select(col("id_a"), col("id_b"), expr(
+        "1000000L * inter div (CAST(size(g_a) AS BIGINT) + size(g_b) - inter)")
+        .as("j_micro"))
+      .filter(col("j_micro") >= t)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Jaccard similarity of two SORTED, DISTINCT long arrays via a single
@@ -72,8 +72,66 @@ case class SortedLongJaccard(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| of two SORTED, DISTINCT long arrays — the same two-pointer
+  * merge as SortedLongJaccard but returning the COUNT, for consumers
+  * that need exact integer similarity arithmetic (the micro-Jaccard
+  * threshold sweeps: j_micro = 1e6·inter div (|A|+|B|−inter) with no
+  * float anywhere). */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_long_intersect"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long ${ev.value}Acc = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value}Acc++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object ArrayJaccard {
   /** Column API: jaccard of two sorted-distinct long arrays. */
   def sortedLongJaccard(a: Column, b: Column): Column =
     Bridge.column(SortedLongJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: |A∩B| of two sorted-distinct long arrays. */
+  def sortedLongIntersect(a: Column, b: Column): Column =
+    Bridge.column(SortedLongIntersect(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -44,7 +44,7 @@ object ExtQueries {
 
   /** Shared DuckDB CTE chain producing `verified(id_a, id_b, jaccard)` —
     * the MinHash+LSH pipeline (used by q21 and the dedup-apply q41). */
-  private def minhashPairsCte: String = {
+  private[operators] def minhashPairsCte: String = {
     val mhDefs = (0 until 8).map(s => s"${Dedup.minhashSql(s)} AS m$s")
       .mkString(",\n        ")
     val bandSelects = (0 until 4).map(b =>

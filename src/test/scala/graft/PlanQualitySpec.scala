@@ -1267,6 +1267,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q409 corpus-size scalar not broadcast:\n$p9")
   }
 
+  test("q410/q411 threshold sweeps: token-keyed candidate joins, never all-pairs") {
+    // the prefix-filter candidate join must be an equi-join on the
+    // prefix token (hash-partitionable at any scale), never a cross
+    val pf = graft.ext.Dedup.prefixFilterPairsMicro(
+      Tables.t(spark, TestSpark.Sf, "documents").select(
+        $"doc_id".as("id"),
+        graft.ext.TextAnalysis.charNgramInts($"text", 3).as("grams")), 700000L)
+    pf.collect()
+    val p = pf.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter enumerates a pair space:\n$p")
+    assert(p.contains("tok"), s"candidate join lost its token key:\n$p")
+    // the LSH sweep joins candidates on (band_idx, band_key)
+    val df11 = SparkEntry.queries("q411_lsh_recall_curve")(spark, TestSpark.Sf)
+    df11.collect()
+    val p11 = df11.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p11.contains("CartesianProduct"), s"q411 row-level cross:\n$p11")
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
