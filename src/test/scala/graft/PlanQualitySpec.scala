@@ -1286,6 +1286,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p11.contains("CartesianProduct"), s"q411 row-level cross:\n$p11")
   }
 
+  test("q412/q413/q414 migration audits: pre-aggregated anti joins, pruned scans, no joins in profiles") {
+    val df12 = SparkEntry.queries("q412_fk_orphan_audit")(spark, TestSpark.Sf)
+    df12.collect()
+    val p12 = df12.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // child keys aggregate BEFORE the anti join: shuffle volume is the
+    // distinct key set, and the join itself is a key-equi anti join
+    assert(p12.contains("LeftAnti"), s"q412 lost its anti join:\n$p12")
+    assert(!p12.contains("CartesianProduct"), s"q412 row-level cross:\n$p12")
+    for (name <- Seq("q413_numeric_width_audit", "q414_string_width_audit")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // pure single-scan profiles: no join anywhere, and every scan is
+      // pruned to its audited column
+      assert(!plan.contains("Join"), s"$name joins:\n$plan")
+      assert(!"ReadSchema: struct<[^>]*,[^>]*,".r.findFirstIn(plan).isDefined,
+        s"$name scans more than 2 columns somewhere:\n$plan")
+    }
+  }
+
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
