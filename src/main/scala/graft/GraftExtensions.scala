@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DoubleDot, NfcNormalize, SortedLongJaccard, StripAccents}
+import graft.functions.{DoubleDot, NfcNormalize, SortedLongIntersect, SortedLongJaccard, StripAccents}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions for SQL use.
@@ -16,6 +16,7 @@ import graft.functions.{DoubleDot, NfcNormalize, SortedLongJaccard, StripAccents
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.sortedLongJaccardFn)
+    e.injectFunction(GraftExtensions.sortedLongIntersectFn)
     e.injectFunction(GraftExtensions.doubleDotFn)
     e.injectFunction(GraftExtensions.nfcNormalizeFn)
     e.injectFunction(GraftExtensions.stripAccentsFn)
@@ -27,6 +28,11 @@ object GraftExtensions {
   private def buildJaccard(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, "sorted_long_jaccard(arrayA, arrayB)")
     SortedLongJaccard(exprs(0), exprs(1))
+  }
+
+  private def buildIntersect(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "sorted_long_intersect(arrayA, arrayB)")
+    SortedLongIntersect(exprs(0), exprs(1))
   }
 
   private def buildDot(exprs: Seq[Expression]): Expression = {
@@ -49,6 +55,11 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_long_jaccard"),
     buildJaccard _)
 
+  val sortedLongIntersectFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_long_intersect"),
+    new ExpressionInfo(classOf[SortedLongIntersect].getName, "sorted_long_intersect"),
+    buildIntersect _)
+
   val doubleDotFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("double_dot"),
     new ExpressionInfo(classOf[DoubleDot].getName, "double_dot"),
@@ -68,6 +79,16 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_long_jaccard", buildJaccard, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_long_intersect", buildIntersect, "built-in")
+    // the portable KMV sketch aggregators (UDAFs register through the
+    // udf registry, not the expression registry)
+    spark.udf.register("kmv_distinct_md5_64",
+      org.apache.spark.sql.functions.udaf(
+        graft.functions.KmvDistinctMd5(64), org.apache.spark.sql.Encoders.STRING))
+    spark.udf.register("kmv_buffer_md5_256",
+      org.apache.spark.sql.functions.udaf(
+        graft.functions.KmvBufferMd5(256), org.apache.spark.sql.Encoders.STRING))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "double_dot", buildDot, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -29,4 +29,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "cafe")
     assert(r.getInt(1) == 1)
   }
+
+  test("sorted_long_intersect and the KMV UDAFs are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT sorted_long_intersect(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS i")
+      .collect().head.getLong(0)
+    assert(r == 2L)
+    // the streaming-state sketch, exposed to plain SQL users: exact
+    // below k, so 3 distinct values estimate as exactly 3
+    val k = spark.sql(
+      "SELECT kmv_distinct_md5_64(x) AS d FROM VALUES ('a'),('b'),('b'),('c') t(x)")
+      .collect().head.getLong(0)
+    assert(k == 3L)
+    val buf = spark.sql(
+      "SELECT size(kmv_buffer_md5_256(x)) AS n FROM VALUES ('a'),('b') t(x)")
+      .collect().head.getInt(0)
+    assert(buf == 2)
+  }
 }
