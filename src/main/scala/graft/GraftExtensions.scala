@@ -1,10 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Encoders, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.encoders.encoderFor
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 
-import graft.functions.{DoubleDot, NfcNormalize, SortedLongIntersect, SortedLongJaccard, StripAccents}
+import graft.functions.{DoubleDot, KmvBufferMd5, KmvDistinctMd5, NfcNormalize, SortedLongIntersect, SortedLongJaccard, StripAccents}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions for SQL use.
@@ -20,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.doubleDotFn)
     e.injectFunction(GraftExtensions.nfcNormalizeFn)
     e.injectFunction(GraftExtensions.stripAccentsFn)
+    e.injectFunction(GraftExtensions.kmvDistinctFn)
+    e.injectFunction(GraftExtensions.kmvBufferFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -50,6 +54,27 @@ object GraftExtensions {
     StripAccents(exprs(0))
   }
 
+  // the KMV Aggregators as catalog-registrable AggregateFunctions — the
+  // same ScalaAggregator the udf-registry path builds, constructed
+  // directly so the spark.sql.extensions init path exposes the SAME SQL
+  // surface as GraftExtensions.register (r11 ADVICE: the two paths had
+  // diverged — expressions-only via extensions, KMV only via register)
+  private def buildKmvDistinct(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "kmv_distinct_md5_64(stringCol)")
+    val agg = KmvDistinctMd5(64)
+    ScalaAggregator(exprs, agg, encoderFor(Encoders.STRING),
+      encoderFor(agg.bufferEncoder), nullable = true,
+      isDeterministic = true, aggregatorName = Some("kmv_distinct_md5_64"))
+  }
+
+  private def buildKmvBuffer(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "kmv_buffer_md5_256(stringCol)")
+    val agg = KmvBufferMd5(256)
+    ScalaAggregator(exprs, agg, encoderFor(Encoders.STRING),
+      encoderFor(agg.bufferEncoder), nullable = true,
+      isDeterministic = true, aggregatorName = Some("kmv_buffer_md5_256"))
+  }
+
   val sortedLongJaccardFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("sorted_long_jaccard"),
     new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_long_jaccard"),
@@ -74,6 +99,16 @@ object GraftExtensions {
     FunctionIdentifier("strip_accents"),
     new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
     buildStrip _)
+
+  val kmvDistinctFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_distinct_md5_64"),
+    new ExpressionInfo(classOf[KmvDistinctMd5].getName, "kmv_distinct_md5_64"),
+    buildKmvDistinct _)
+
+  val kmvBufferFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_buffer_md5_256"),
+    new ExpressionInfo(classOf[KmvBufferMd5].getName, "kmv_buffer_md5_256"),
+    buildKmvBuffer _)
 
   /** Register on an already-built session (tests, shells). */
   def register(spark: SparkSession): Unit = {

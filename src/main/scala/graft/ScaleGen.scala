@@ -44,6 +44,13 @@ object ScaleGen {
     val scaled: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet
       else Set("documents", "embeddings", "lineitem")
+    // a typo'd table name would otherwise be silently accepted and the
+    // run would "succeed" producing an UNSCALED dataset (r11 ADVICE)
+    require(scaled.nonEmpty &&
+      scaled.subsetOf(Set("documents", "embeddings", "lineitem")),
+      s"tables arg must name replicable tables " +
+        s"(documents,embeddings,lineitem); got: ${args(3)}")
+    println(s"ScaleGen: replicating ${scaled.toSeq.sorted.mkString(",")} x$k")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

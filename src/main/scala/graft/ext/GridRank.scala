@@ -24,6 +24,12 @@ object GridRank {
   /** Adds `outCol` = global `row_number()` over (valueCol asc|desc,
     * tieCols...). Per-task state is ~|rows|/buckets; the only
     * cross-bucket step is a window over the `buckets`-row count table.
+    *
+    * Null `valueCol` rows follow Spark's window semantics exactly:
+    * nulls-FIRST ascending, nulls-LAST descending — they get their own
+    * bucket at the matching end of the traversal (r11 ADVICE: the first
+    * version keyed nulls into a null bucket that the equi-join against
+    * the offsets table silently dropped).
     */
   def withRowNumber(df: DataFrame, valueCol: String, tieCols: Seq[Column],
       outCol: String, buckets: Int = 32,
@@ -38,7 +44,8 @@ object GridRank {
                else dec(v) - dec(col("__vmin"))
     val b = df.crossJoin(broadcast(bounds))
       .withColumn("__bkt",
-        when(col("__vmax") === col("__vmin"), lit(0L))
+        when(v.isNull, lit(if (descending) buckets.toLong else -1L))
+          .when(col("__vmax") === col("__vmin"), lit(0L))
           .otherwise(floor(dist * buckets /
             (dec(col("__vmax")) - dec(col("__vmin")) + 1)).cast("long")))
       .drop("__vmin", "__vmax")

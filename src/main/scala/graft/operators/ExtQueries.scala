@@ -1140,9 +1140,7 @@ object ExtQueries {
       // oracle-checked against the same SQL as the batch form
       // the file source wants a directory: expose events.parquet through
       // a temp dir (symlink — no copy)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q67")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("events.parquet"),
+      val tmp = graft.TempScratch.symlinkDir("q67", "events.parquet",
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = graft.streaming.EventStream
         .streamFromParquetDir(s, tmp.toString)

@@ -54,9 +54,7 @@ object Round11lQueries {
     // streaming state and the batch replay hash identically.
     ("q404_stream_kmv_window", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q404")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("events.parquet"),
+      val tmp = graft.TempScratch.symlinkDir("q404", "events.parquet",
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = graft.streaming.EventStream
         .streamFromParquetDir(s, tmp.toString)

@@ -41,12 +41,8 @@ object Round11pQueries {
       val p = java.nio.file.Paths.get(s"$dir/documents.parquet")
       val srcPath =
         if (java.nio.file.Files.isDirectory(p)) p.toString
-        else {
-          val tmp = java.nio.file.Files.createTempDirectory("graft_q415")
-          java.nio.file.Files.createSymbolicLink(
-            tmp.resolve("documents.parquet"), p)
-          tmp.toString
-        }
+        else graft.TempScratch
+          .symlinkDir("q415", "documents.parquet", p).toString
       val stream = s.readStream.schema(DocSchema).parquet(srcPath)
       val q = stream
         .groupBy($"source")

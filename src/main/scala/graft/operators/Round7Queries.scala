@@ -395,9 +395,7 @@ object Round7Queries {
     // state-bound contract.
     ("q123_stream_dedup", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q123")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("events.parquet"),
+      val tmp = graft.TempScratch.symlinkDir("q123", "events.parquet",
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = graft.streaming.EventStream.streamFromParquetDir(s, tmp.toString)
       val q = graft.streaming.EventStream.distinctUsersByType(stream)
@@ -1044,7 +1042,7 @@ object Round7Queries {
     // alongside as an ordinary pushed filter.
     ("q141_partition_prune", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q141").toString
+      val tmp = graft.TempScratch.dir("q141").toString
       Tables.spread(Tables.t(s, dir, "documents"))
         .select($"doc_id", $"n_chars", $"source")
         .write.mode("overwrite").partitionBy("source").parquet(tmp)
@@ -1110,7 +1108,7 @@ object Round7Queries {
     // so the oracle reads the original parquet.
     ("q143_orc_roundtrip", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q143").toString
+      val tmp = graft.TempScratch.dir("q143").toString
       Tables.t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_quantity", $"l_returnflag")
         .write.mode("overwrite").orc(tmp)
@@ -1172,9 +1170,7 @@ object Round7Queries {
     // plain aggregation to join + aggregation).
     ("q145_stream_static_join", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q145")
-      java.nio.file.Files.createSymbolicLink(
-        tmp.resolve("events.parquet"),
+      val tmp = graft.TempScratch.symlinkDir("q145", "events.parquet",
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = graft.streaming.EventStream.streamFromParquetDir(s, tmp.toString)
       val dim = Tables.t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
@@ -1199,14 +1195,14 @@ object Round7Queries {
     // even though no literal source predicate exists on the fact side.
     ("q146_dynamic_partition_prune", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q146").toString
+      val tmp = graft.TempScratch.dir("q146").toString
       Tables.spread(Tables.t(s, dir, "documents"))
         .select($"doc_id", $"n_chars", $"source")
         .write.mode("overwrite").partitionBy("source").parquet(tmp)
       // the dim must be a real scan with a surviving Filter node — a
       // literal Seq folds into a LocalRelation and DPP's
       // selective-predicate check never sees a filter
-      val dimTmp = java.nio.file.Files.createTempDirectory("graft_q146d").toString
+      val dimTmp = graft.TempScratch.dir("q146d").toString
       Seq(("src1", 1), ("src5", 2), ("src7", 3), ("src9", 9))
         .toDF("source", "grp").write.mode("overwrite").parquet(dimTmp)
       val dim = s.read.parquet(dimTmp).filter($"grp" <= 3)
@@ -1528,7 +1524,7 @@ object Round7Queries {
     ("q154_json_roundtrip", (s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.types._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q154").toString
+      val tmp = graft.TempScratch.dir("q154").toString
       Tables.t(s, dir, "documents")
         .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
         .write.mode("overwrite").json(tmp)

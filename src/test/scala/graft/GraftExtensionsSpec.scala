@@ -47,4 +47,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getInt(0)
     assert(buf == 2)
   }
+
+  test("the spark.sql.extensions init path exposes the KMV UDAFs too") {
+    // r11 ADVICE: the SQL surface diverged by init path — extensions
+    // sessions got the expressions but not the KMV aggregates. Build a
+    // second session (same context) THROUGH the extensions hook and
+    // call every function family from SQL.
+    val base = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val k = s2.sql(
+        "SELECT kmv_distinct_md5_64(x) AS d FROM VALUES ('a'),('b'),('b'),('c') t(x)")
+        .collect().head.getLong(0)
+      assert(k == 3L)
+      val buf = s2.sql(
+        "SELECT size(kmv_buffer_md5_256(x)) AS n FROM VALUES ('a'),('b') t(x)")
+        .collect().head.getInt(0)
+      assert(buf == 2)
+      val j = s2.sql(
+        "SELECT sorted_long_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j")
+        .collect().head.getDouble(0)
+      assert(j == 0.5)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
 }

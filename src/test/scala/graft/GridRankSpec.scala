@@ -45,6 +45,23 @@ class GridRankSpec extends AnyFunSuite {
     }
   }
 
+  test("null values rank exactly like the global window (nulls first asc, last desc)") {
+    // r11 ADVICE: the first version dropped null-valueCol rows at the
+    // offsets equi-join; now they get the end bucket Spark's window
+    // ordering gives them
+    val n = (1 to 60).map { i =>
+      (i.toLong, if (i % 5 == 0) None else Some(((i * 13) % 7 - 3).toLong))
+    }.toDF("id", "v").repartition(4)
+    for (desc <- Seq(false, true); b <- Seq(1, 8)) {
+      val w = Window.orderBy((if (desc) $"v".desc else $"v".asc), $"id")
+      val want = n.withColumn("rn", row_number().over(w).cast("long"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      val got = GridRank.withRowNumber(n, "v", Seq($"id"), "rn", b, desc)
+        .select($"id", $"rn").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == want, s"null handling diverged at buckets=$b desc=$desc")
+    }
+  }
+
   test("constant value column degrades to a single bucket but stays correct") {
     val c = (1 to 50).map(i => (i.toLong, 42L)).toDF("id", "v")
     val got = GridRank.withRowNumber(c, "v", Seq($"id"), "rn", 8)

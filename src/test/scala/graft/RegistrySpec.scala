@@ -58,6 +58,31 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("docs/OPERATORS.md header count equals the registry size") {
+    // third occurrence of a stale header count in three rounds (342,
+    // then 405) — now a deliberately wrong number fails the suite
+    val m = "All ([0-9]+) oracle-gated queries".r.findFirstMatchIn(operatorsMd)
+    assert(m.isDefined, "OPERATORS.md header no longer carries the count")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"OPERATORS.md header says 'All ${m.get.group(1)}' but the registry " +
+        s"has ${SparkEntry.queries.size} queries — update the header")
+  }
+
+  test("README.md operator count equals the registry size") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/README.md")), "UTF-8")
+    val m = "([0-9]+) operator queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README.md no longer carries the operator count")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README.md says '${m.get.group(1)} operator queries' but the registry " +
+        s"has ${SparkEntry.queries.size} — update the README")
+    val hi = "q01–q([0-9]+)".r.findFirstMatchIn(readme).map(_.group(1).toInt)
+    val maxQ = SparkEntry.queries.keySet
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).max
+    assert(hi.contains(maxQ),
+      s"README.md range says q01–q${hi.orNull} but the registry tops at q$maxQ")
+  }
+
   test("every registry query is documented in docs/OPERATORS.md (no orphans)") {
     // the index is the dedup-audit surface: an operator that never
     // appears there was never screened against its neighbors (the
