@@ -30,8 +30,8 @@ object Round11nQueries {
   private val normSql = TA.normTextSql
 
   /** The shared 5-cut sweep over a (id_a, id_b, j_micro) pair table:
-    * pairs and distinct flagged docs per threshold. */
-  private def sweep(s: SparkSession, pairs: DataFrame): DataFrame = {
+    * pairs and distinct flagged docs per threshold (also q416's tail). */
+  private[operators] def sweep(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val taus = Seq(500000L, 600000L, 700000L, 800000L, 900000L).toDF("tau_micro")
     val hits = pairs.crossJoin(broadcast(taus)).filter($"j_micro" >= $"tau_micro")
