@@ -122,7 +122,7 @@ object Round11bQueries {
           + (1.0 - CAST(sx AS DOUBLE)/(5.0*CAST(n AS DOUBLE))) * (1.0 - CAST(sx AS DOUBLE)/(5.0*CAST(n AS DOUBLE)))))
        AS kappa""")
 
-  private[operators] val GopherStops = Seq("the", "a", "of", "to", "and")
+  private[graft] val GopherStops = Seq("the", "a", "of", "to", "and")
 
   /** Per-document Gopher rule flags (see q355) — shared with q371's
     * Cochran Q so both sides of both queries compute the rules from
@@ -398,21 +398,14 @@ object Round11bQueries {
     // are ordinal, not interval.
     ("q358_kendall_tau", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val stops = GopherStops
+      // fused WordStopStats kernel: one primitive pass for (wc, ns) —
+      // no normText string, no regex engine on the corpus-scan path
+      // (bit-equality with the regex chain pinned in WordStopStatsSpec)
       val base = Tables.spread(Tables.t(s, dir, "documents"))
-        .select($"doc_id", $"n_chars", TA.normText($"text").as("nt"))
-        // normText collapses runs to single spaces, so the word count
-        // is the space count + 1 — two codegen'd length passes; no
-        // split, no token array ever materializes for this query
-        .withColumn("wc",
-          when($"nt" === "", 0L)
-            .otherwise((length($"nt") -
-              length(expr("replace(nt, ' ', '')")) + 1).cast("long")))
+        .select($"n_chars",
+          graft.functions.WordStopStats($"text", GopherStops).as("st"))
+        .select($"n_chars", $"st".getItem(0).as("wc"), $"st".getItem(1).as("ns"))
         .filter($"wc" > 0)
-        // one codegen'd regex pass, not a per-token lambda (the ×100
-        // probe priced the lambda at ~30× on 35M tokens)
-        .withColumn("ns", expr(
-          s"regexp_count(nt, '\\\\b(${stops.mkString("|")})\\\\b')").cast("long"))
         .select(expr("CAST(n_chars AS BIGINT) * 2 div 100").as("la"),
           expr("10 * ns div wc").as("lb"))
       val grid = base.groupBy($"la", $"lb").agg(count(lit(1)).as("cnt"))

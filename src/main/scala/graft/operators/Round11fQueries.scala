@@ -266,16 +266,16 @@ object Round11fQueries {
     // end. Same one-scan shape as q358; margins from the grid.
     ("q385_weighted_kappa", (s: SparkSession, dir: String) => {
       import s.implicits._
+      // fused WordStopStats kernel: ONE primitive pass over the raw
+      // text replaces normText's two regexes + the replace pass + the
+      // stopword-alternation regexp_count (the ×100 probe priced that
+      // chain at 134 s / 500k docs — proportional to passes per byte)
       val base = Tables.spread(Tables.t(s, dir, "documents"))
-        .select($"doc_id", $"n_chars", graft.ext.TextAnalysis.normText($"text").as("nt"))
-        .withColumn("wc",
-          when($"nt" === "", 0L)
-            .otherwise((length($"nt") -
-              length(expr("replace(nt, ' ', '')")) + 1).cast("long")))
+        .select($"doc_id", $"n_chars",
+          graft.functions.WordStopStats($"text",
+            Round11bQueries.GopherStops).as("st"))
+        .select($"n_chars", $"st".getItem(0).as("wc"), $"st".getItem(1).as("ns"))
         .filter($"wc" > 0)
-        .withColumn("ns", expr(
-          s"regexp_count(nt, '\\\\b(${Round11bQueries.GopherStops.mkString("|")})\\\\b')")
-          .cast("long"))
         .select(least(expr("CAST(n_chars AS BIGINT) * 2 div 100"), lit(9L)).as("ra"),
           least(expr("10 * ns div wc"), lit(9L)).as("rb"))
       val grid = base.groupBy($"ra", $"rb").agg(count(lit(1)).as("o"))
