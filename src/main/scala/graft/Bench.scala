@@ -2,24 +2,6 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup across the main plan shapes (agg, window, regex+join,
-    // higher-order/codegen kernels, ANN) so no timed query absorbs JIT,
-    // codegen-compile, or parquet-footer cost for its whole shape class
-    Seq("q01_agg", "q13_window_topk", "q17_text_quality", "q24_ann_bruteforce")
-      .foreach { w =>
-        try SparkEntry.queries(w)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
     // SPARK_GRAFT_BENCH_REPS>1 times each query that many times and keeps
     // the MINIMUM — the shared box flaps individual readings up to ±2×
     // (BENCHNOTES), and the min is the least noise-contaminated estimate
@@ -29,14 +11,43 @@ object Bench {
     // scale probes and dial sweeps over a subset on alternate SF dirs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // persist the COMPLETE artifact too: the driver captures stdout with
+    // a bounded tail, which truncates at this battery size — the file is
+    // the authoritative per-query record (override path via env)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
+    measure(only, outPath, reps)
+  }
+
+  /** The measurement loop, shared with BenchClose: fresh session,
+    * untimed warmup across the main plan shapes (agg, window,
+    * regex+join, higher-order/codegen kernels, ANN) so no timed query
+    * absorbs JIT, codegen-compile, or parquet-footer cost for its whole
+    * shape class; noop sink forces full evaluation of every output
+    * column (count() would let Catalyst prune the projections being
+    * benched); a failed query records NEGATIVE elapsed so it can't
+    * pass as fast; min-of-reps per query.
+    */
+  def measure(only: Option[Set[String]], outPath: String, reps: Int): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq("q01_agg", "q13_window_topk", "q17_text_quality", "q24_ann_bruteforce")
+      .foreach { w =>
+        try SparkEntry.queries(w)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // noop sink: forces full evaluation of every output column
-        // (count() would let Catalyst prune the projections being benched);
-        // a failed query records NEGATIVE elapsed so it can't pass as fast
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
@@ -52,10 +63,6 @@ object Bench {
     val total = results.map(r => math.abs(r._2)).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // persist the COMPLETE artifact too: the driver captures stdout with
-    // a bounded tail, which truncates at this battery size — the file is
-    // the authoritative per-query record (override path via env)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/latest.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

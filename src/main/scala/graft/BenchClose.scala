@@ -1,0 +1,65 @@
+package graft
+
+/** Executable round-close bench protocol (one command instead of a
+  * hand-maintained env-var recipe that has drifted twice):
+  *
+  *   runMain graft.BenchClose <roundTag>        e.g. r12
+  *
+  * emits, under the quiet min-of-2 discipline (BENCHNOTES):
+  *   - bench/<roundTag>_final.json  — the full battery, and the same
+  *     line copied to bench/latest.json (the committed pin the judge
+  *     reads; the round-10/11 lesson is that these two MUST be the
+  *     same run, not a later loaded-box pass);
+  *   - bench/parity_subset.json     — the 19 §2-parity queries
+  *     (q01–q15, q36–q39), the apples-to-apples bench_vs_baseline
+  *     numerator (BASELINE.md "Parity-subset bench").
+  *
+  * Both passes run Bench.measure — the ONE measurement loop (same
+  * warmups, noop sink, failure marker, min-of-reps) — so this runner
+  * cannot drift from what the driver's single-pass protocol measures.
+  * Each pass builds a fresh SparkSession: the parity numbers are NOT
+  * taken from the battery pass, where 380+ earlier queries have warmed
+  * and fragmented the session; they're re-measured the way a user
+  * would run them.
+  *
+  * Box discipline is still on the operator: run this alone. The env
+  * overrides (SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS) pass through.
+  */
+object BenchClose {
+  /** The §2 parity surface: the queries that express what the
+    * reference itself computes (scan/page/filter/agg/order + DDL gen).
+    * Kept as a function of the registry so a rename fails loudly here
+    * rather than silently shrinking the subset.
+    */
+  def paritySubset: Seq[String] = {
+    val want = (1 to 15) ++ (36 to 39)
+    val byNum = SparkEntry.queries.keys.toSeq
+      .groupBy(n => n.drop(1).takeWhile(_.isDigit).toInt)
+    want.flatMap { n =>
+      val hits = byNum.getOrElse(n, Nil)
+      require(hits.size == 1, s"parity query q$n missing or ambiguous: $hits")
+      hits
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: BenchClose <roundTag>  (e.g. r12)")
+    val tag = args(0)
+    require(tag.matches("r\\d+"), s"roundTag must look like r12; got $tag")
+
+    // full battery, min-of-2, to <tag>_final.json
+    Bench.measure(only = None, outPath = s"bench/${tag}_final.json", reps = 2)
+    // pin latest.json to the SAME line
+    val line = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"bench/${tag}_final.json"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench/latest.json"), line.getBytes("UTF-8"))
+    // parity subset, fresh session, min-of-2 (Bench.measure builds a
+    // new session per call — the parity numbers are measured the way a
+    // user would run them, not inside a 400-query-warmed JVM)
+    Bench.measure(only = Some(paritySubset.toSet),
+      outPath = "bench/parity_subset.json", reps = 2)
+    println(s"BenchClose: wrote bench/${tag}_final.json (= bench/latest.json) " +
+      "and bench/parity_subset.json")
+  }
+}
