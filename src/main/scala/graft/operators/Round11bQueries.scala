@@ -128,43 +128,30 @@ object Round11bQueries {
     * Cochran Q so both sides of both queries compute the rules from
     * ONE definition. Returns (doc_id, source, r_wc..r_sym).
     *
-    * Deliberately shuffle-free and lambda-free: the top-word count
-    * comes from the max run length of the SORTED token array (an
-    * in-row fold — the ×100 probe showed the first-cut
-    * explode→(doc, word) shuffle costing 70× at 500k docs), and the
-    * alphabetic-word count is wc − |pure-digit words| via ONE
-    * regexp_count pass (the normalized alphabet is [a-z0-9 ], so
-    * "contains a letter" ≡ "not all digits"). The DuckDB oracle keeps
-    * the definitional unnest+group form — same values, different
-    * physical plan, which is the point.
+    * One fused primitive scan per document (GopherTextStats): the
+    * round-11 form was already shuffle-free but still paid three regex
+    * passes plus a split + array_sort fold — ~84 s at ×100 docs, the
+    * text battery's measured ceiling. The kernel computes the same six
+    * integers in one pass (bit-equality with that expression chain
+    * pinned in GopherTextStatsSpec on the whole corpus + adversarial
+    * edges). The DuckDB oracle keeps the definitional
+    * normalize+unnest+group form — same values, different physical
+    * plan, which is the point.
     */
   private[graft] def gopherDoc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.spread(Tables.t(s, dir, "documents"))
     docs
-      .select($"doc_id", $"source", $"text", TA.normText($"text").as("nt"))
-      .withColumn("a", split($"nt", " "))
-      .withColumn("wc",
-        when($"nt" === "", 0L).otherwise(size($"a").cast("long")))
+      .select($"doc_id", $"source",
+        graft.functions.GopherTextStats($"text", GopherStops).as("g"))
+      .select($"doc_id", $"source",
+        $"g".getItem(0).as("wc"),
+        $"g".getItem(1).as("sumlen"),
+        ($"g".getItem(0) - $"g".getItem(2)).as("n_alpha"),
+        $"g".getItem(3).as("n_stopkinds"),
+        $"g".getItem(4).as("maxw"),
+        $"g".getItem(5).as("n_sym"))
       .filter($"wc" > 0)
-      .withColumn("sumlen", (length($"nt") - ($"wc" - 1)).cast("long"))
-      .withColumn("n_alpha",
-        $"wc" - expr("regexp_count(nt, '\\\\b[0-9]+\\\\b')").cast("long"))
-      .withColumn("n_stopkinds",
-        GopherStops.map(w => array_contains($"a", w).cast("long"))
-          .reduce(_ + _))
-      .withColumn("n_sym",
-        (length($"text") - length(expr("replace(text, '#', '')"))).cast("long") +
-          ((length($"text") - length(expr("replace(text, '...', '')"))) / 3)
-            .cast("long"))
-      .withColumn("maxw", expr(
-        """aggregate(array_sort(a),
-             named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
-             (acc, x) -> named_struct(
-               'prev', x,
-               'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END,
-               'best', greatest(acc.best, CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)),
-             acc -> acc.best)"""))
       .withColumn("r_wc", $"wc" >= 50 && $"wc" <= 100000)
       .withColumn("r_mwl",
         $"sumlen" >= lit(3) * $"wc" && $"sumlen" <= lit(10) * $"wc")
