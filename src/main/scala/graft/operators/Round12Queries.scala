@@ -196,11 +196,11 @@ object Round12Queries {
     */
   private def driftCums(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val g = Tables.spread(Tables.t(s, dir, "documents"))
-      .select($"n_chars", (pmod($"doc_id", lit(2)) === 0).as("is_a"))
-      .groupBy($"n_chars").agg(
-        sum(when($"is_a", 1L).otherwise(0L)).as("ca"),
-        sum(when($"is_a", 0L).otherwise(1L)).as("cb"))
+    // checkpoint the grid: the totals branch and the three cumulative
+    // branches all read the materialized value-domain-sized grid, so
+    // the CORPUS is scanned exactly once per query (PlanQualitySpec
+    // pins the grid plan: one scan, pruned to (doc_id, n_chars))
+    val g = driftGrid(s, dir).localCheckpoint()
     val cums = GridCumulative.withRunningTotal(
       GridCumulative.withRunningTotal(
         GridCumulative.withRunningTotal(g, "n_chars", "ca", "cuma"),
@@ -209,6 +209,18 @@ object Round12Queries {
       "n_chars", "cp", "cump")
     val tot = g.agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
     (cums, tot)
+  }
+
+  /** The pre-checkpoint grid plan — exposed so PlanQualitySpec can
+    * assert the one-pruned-scan shape that checkpointing hides from
+    * the final plans. */
+  private[graft] def driftGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.t(s, dir, "documents"))
+      .select($"n_chars", (pmod($"doc_id", lit(2)) === 0).as("is_a"))
+      .groupBy($"n_chars").agg(
+        sum(when($"is_a", 1L).otherwise(0L)).as("ca"),
+        sum(when($"is_a", 0L).otherwise(1L)).as("cb"))
   }
 
   /** DuckDB CTE chain ending in `c(n_chars, ca, cb, cuma, cumb, cump)`

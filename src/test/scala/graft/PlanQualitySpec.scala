@@ -1317,4 +1317,50 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"q391 top-20 uses a global sort:\n$plan")
   }
+
+  test("fused text kernels: the corpus-scan path carries NO regex operator") {
+    // the round-11/12 fusion wins (q355 84→2.2 s, q385 134→1.35 s at
+    // ×100 docs) must not silently regress: the plans' only text work
+    // is the codegen'd kernels, never RegExpReplace/RegExpExtract/
+    // RegExpCount/StringSplit over the corpus. q358/q385 checkpoint
+    // their grids, which truncates the observable plan — their kernel
+    // adoption is pinned by WordStopStatsSpec's bit-equality instead;
+    // the regex-absence check still covers their post-checkpoint work.
+    val kernelVisible = Seq("q355_gopher_rules", "q371_cochran_q",
+      "q386_mantel_haenszel")
+    val checkpointed = Seq("q358_kendall_tau", "q385_weighted_kappa")
+    for (name <- kernelVisible ++ checkpointed) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      val plan = df.queryExecution.executedPlan.toString
+      for (op <- Seq("regexp_replace", "regexp_count", "regexp_extract", "split(")) {
+        assert(!plan.toLowerCase.contains(op),
+          s"$name reintroduced $op on the scan path:\n$plan")
+      }
+      if (kernelVisible.contains(name))
+        assert(plan.contains("gopher_text_stats"),
+          s"$name lost its fused kernel:\n$plan")
+    }
+  }
+
+  test("drift monitors (q417-q419): one pruned corpus scan, no cartesian") {
+    // the shared grid is checkpointed, so (a) the grid's own plan must
+    // be the one pruned corpus scan, and (b) the final plans must be
+    // entirely grid-sized: ZERO parquet scans, no row-level cross join
+    val gplan = graft.operators.Round12Queries
+      .driftGrid(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(gplan).length == 1,
+      s"drift grid reads the corpus more than once:\n$gplan")
+    assert(gplan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"drift grid scans more than (doc_id, n_chars):\n$gplan")
+    for (name <- Seq("q417_ks_two_sample", "q418_wasserstein_drift",
+        "q419_psi_deciles")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!"Scan parquet".r.findFirstIn(plan).isDefined,
+        s"$name re-reads the corpus past the checkpointed grid:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name has a row-level cross join:\n$plan")
+    }
+  }
 }
