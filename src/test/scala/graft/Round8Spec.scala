@@ -94,7 +94,7 @@ class Round8Spec extends AnyFunSuite {
     assert(onDriver.forall(r => r._3 == 0L && r._4 == 1000000L))
     // synthetic disorder: one user, 4 events; arrival order (event_id)
     // vs event time gives lateness 0, 0, 120 s, 5 s
-    val dir = java.nio.file.Files.createTempDirectory("graft_q201").toString
+    val dir = graft.TempScratch.fresh("graft_q201").toString
     val base = 1700000000L * 1000000L // epoch micros
     Seq(
       (1L, base + 0L, 7L, "a", 0.0, "{}"),

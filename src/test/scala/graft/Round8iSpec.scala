@@ -73,7 +73,7 @@ class Round8iSpec extends AnyFunSuite {
     assert(got == Seq(expected))
     // null calibration: a synthetic design where conversion is EXACTLY
     // balanced across the parity split must read chi2 = 0, not reject
-    val dir = java.nio.file.Files.createTempDirectory("graft_q224").toString
+    val dir = graft.TempScratch.fresh("graft_q224").toString
     val base = 1700000000L * 1000000L
     val rows = (0L until 40L).flatMap { u =>
       val nPurch = if (u % 4 < 2) 14 else 0 // u%4 is parity-balanced

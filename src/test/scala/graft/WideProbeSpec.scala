@@ -20,7 +20,7 @@ class WideProbeSpec extends AnyFunSuite {
   private val width = 6
 
   private lazy val widePath = {
-    val p = java.nio.file.Files.createTempDirectory("graft_wide_spec")
+    val p = graft.TempScratch.fresh("graft_wide_spec")
       .resolve("w").toString
     WideProbe.writeWide(spark, sfDir, width, p)
     p

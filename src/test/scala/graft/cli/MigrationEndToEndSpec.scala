@@ -118,7 +118,7 @@ class MigrationEndToEndSpec extends AnyFunSuite {
     val cfg = GraftConfig(src = ConnConfig(database = "test"), pageSize = 10, maxParallel = 4)
     val source = new JdbcCatalogSource(spark, cfg, urlOverride = Some(srcUrl))
     val sink = new JdbcInsertSink(spark, tgtUrl, "", "")
-    val flog = new FailureLog(Files.createTempDirectory("graft-e2e"))
+    val flog = new FailureLog(graft.TempScratch.fresh("graft-e2e"))
     val runner = new Migration.Runner(spark, cfg, source, sink, Some(flog))
 
     assert(runner.workList == Seq("BADTAB", "ORDERS", "PEOPLE"))

@@ -113,7 +113,7 @@ class MigrationSpec extends AnyFunSuite {
   }
 
   test("K3 artifacts: failed DDL and scrubbed NULs land in the run's log dir") {
-    val base = Files.createTempDirectory("graft-k3")
+    val base = graft.TempScratch.fresh("graft-k3")
     val flog = new FailureLog(base)
     val sink = new RecordingSink
     sink.failDdlContaining = Some("create sequence")
@@ -137,7 +137,7 @@ class MigrationSpec extends AnyFunSuite {
   }
 
   test("K3 artifacts: failed table write lands in failedTable + errorTableData") {
-    val base = Files.createTempDirectory("graft-k3w")
+    val base = graft.TempScratch.fresh("graft-k3w")
     val flog = new FailureLog(base)
     val sink = new RecordingSink {
       override def writeTable(table: String, df: DataFrame): Try[Long] =

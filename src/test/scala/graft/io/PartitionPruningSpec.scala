@@ -17,7 +17,7 @@ class PartitionPruningSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("writing partitioned parquet prunes non-matching partitions at read") {
-    val dir = Files.createTempDirectory("graft_part").toString
+    val dir = graft.TempScratch.fresh("graft_part").toString
     Tables.t(spark, TestSpark.Sf, "orders")
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
 

@@ -111,7 +111,7 @@ class CopyStreamSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val ledger = freshTables("T_STREAM", "LED_STREAM")
     val input = MemoryStream[(Long, String)]
-    val ckpt = Files.createTempDirectory("graft-copystream").toString
+    val ckpt = graft.TempScratch.fresh("graft-copystream").toString
     val q = CopyStream.start(input.toDF().toDF("id", "v"), "T_STREAM",
       new DerbyLoadFactory, ledger, ckpt)
     try {

@@ -11,7 +11,7 @@ class EventStreamSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def eventsDir: String = {
-    val dir = Files.createTempDirectory("graft_events")
+    val dir = graft.TempScratch.fresh("graft_events")
     Files.copy(Paths.get(s"${TestSpark.Sf}/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     dir.toString
@@ -21,7 +21,7 @@ class EventStreamSpec extends AnyFunSuite {
     // a file-source stream awaiting its first files is a normal state:
     // the schema probe has nothing to read and must fall back to the
     // NANOS/long declaration rather than throw
-    val empty = Files.createTempDirectory("graft_events_empty").toString
+    val empty = graft.TempScratch.fresh("graft_events_empty").toString
     val stream = EventStream.streamFromParquetDir(spark, empty)
     assert(stream.isStreaming)
     assert(stream.schema("ts").dataType.typeName == "timestamp")
