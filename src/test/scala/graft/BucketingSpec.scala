@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -37,7 +39,7 @@ class BucketingSpec extends AnyFunSuite {
     joined.collect()
     // AQE echoes the pre-adaptive plan after "== Initial Plan ==" — only
     // the final plan above it matters
-    val fullPlan = joined.queryExecution.executedPlan.toString
+    val fullPlan = joined.planText
     val plan = fullPlan.split("== Initial Plan ==").head
     // the join itself must not introduce a shuffle: no Exchange between
     // the scans and the SortMergeJoin (the aggregation's exchange is fine)

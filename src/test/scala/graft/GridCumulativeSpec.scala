@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,7 +54,7 @@ class GridCumulativeSpec extends AnyFunSuite {
 
   test("per-task state is bounded: the big window partitions on the range bucket") {
     val plan = GridCumulative.withRunningTotal(grid, "v", "c", "cum", 32)
-      .queryExecution.executedPlan.toString
+      .planText
     assert(plan.contains("hashpartitioning(__bkt"),
       s"grid window not partitioned by the range bucket:\n$plan")
   }

@@ -13,7 +13,7 @@ class PlanQualitySpec extends AnyFunSuite {
   import spark.implicits._
 
   private def explained(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.toString
+    PlanText.planStr(df)
 
   test("filters are pushed to the parquet scan") {
     val df = Tables.t(spark, TestSpark.Sf, "lineitem")
@@ -49,7 +49,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q24 brute-force ANN broadcasts the query side (candidate scan never shuffles)") {
     val df = SparkEntry.queries("q24_ann_bruteforce")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
   }
@@ -57,7 +57,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q21 minhash candidate join is an equi-join on band key, not a cross join") {
     val df = SparkEntry.queries("q21_dedup_minhash")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair generation degenerated into a cross join:\n$plan")
   }
@@ -65,7 +65,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q18 language scoring is a broadcast join, not a lambda filter") {
     val df = SparkEntry.queries("q18_text_langid")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastHashJoin"), s"stopword join not broadcast:\n$plan")
     assert(!plan.contains("ArrayFilter"), s"interpreted lambda filter in plan:\n$plan")
   }
@@ -74,7 +74,7 @@ class PlanQualitySpec extends AnyFunSuite {
     Seq("q23_dedup_ngram", "q54_dedup_components").foreach { q =>
       val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert(!plan.contains("CartesianProduct"), s"$q uses a cartesian product:\n$plan")
     }
   }
@@ -82,7 +82,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q47 k-means centroids are broadcast in assignment") {
     val df = SparkEntry.queries("q47_ann_ivf_kmeans")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"centroid/query side not broadcast:\n$plan")
   }
@@ -90,7 +90,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q47 assignment materializes once: both cell-join sides read the checkpoint") {
     val df = SparkEntry.queries("q47_ann_ivf_kmeans")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // query side + candidate side must both read the materialized
     // assignment RDD; the Lloyd training chain sits behind the
     // localCheckpoint so it cannot appear (= re-execute) in the search
@@ -104,7 +104,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q112 multi-probe search join is a broadcast equi-join on cluster_id") {
     val df = SparkEntry.queries("q112_ann_ivf_multiprobe")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the probe side (nprobe rows per query) must broadcast into an
     // equi-join against the cell assignment — BHJ, not a cartesian
     assert(plan.contains("BroadcastHashJoin"), s"search join not a broadcast equi-join:\n$plan")
@@ -113,7 +113,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q113 trained multi-probe: no training leak, broadcast search join") {
     val df = SparkEntry.queries("q113_ann_ivf_kmeans_multiprobe")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("posexplode"),
       s"k-means training chain leaked into the multi-probe search plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"search join not broadcast:\n$plan")
@@ -122,7 +122,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q114 vocabulary is a top-V (no global sort) broadcast into the per-doc pass") {
     val df = SparkEntry.queries("q114_vocab_oov")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("TakeOrderedAndProject"), s"vocab must be top-V, not sort+limit:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$plan")
   }
@@ -130,7 +130,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q115 dup-gram join stays an equi-join on the n-gram (no cross join)") {
     val df = SparkEntry.queries("q115_dupgram_rate")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"dup-gram join degenerated:\n$plan")
   }
@@ -142,7 +142,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val logical = df.queryExecution.analyzed.toString
     assert(logical.contains("n_docs"), s"no in-DAG n_docs aggregate:\n$logical")
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
       s"scalar n_docs not broadcast-cross-joined into the DAG:\n$plan")
   }
@@ -153,13 +153,16 @@ class PlanQualitySpec extends AnyFunSuite {
     // shuffle at |keys|·k rows instead of the full candidate stream
     val df = SparkEntry.queries("q24_ann_bruteforce")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
   test("whole-stage codegen covers the q01 pipeline (AQE final plan)") {
     val df = SparkEntry.queries("q01_agg")(spark, TestSpark.Sf)
     df.collect() // AQE only materializes the final plan after execution
+    // raw toString on purpose: the "*(n)" codegen prefix exists only in
+    // the rendered tree string, not in per-node simpleString; the span
+    // is at the plan root so exchange reuse cannot hide it
     val plan = df.queryExecution.executedPlan.toString
     // codegen stages render as "*(n) Operator" in the compact plan string
     assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined, s"no codegen span in:\n$plan")
@@ -196,7 +199,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q106 packing: group offsets broadcast; corpus-wide window stays partitioned") {
     val df = SparkEntry.queries("q106_sequence_packing")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the per-group cumsum windows are partitioned by grp (parallel);
     // only the tiny per-group offset table is single-partition, and it
     // reaches the docs through a broadcast join
@@ -207,7 +210,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q108 contamination joins on the n-gram string (no cross join)") {
     val df = SparkEntry.queries("q108_contamination")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"contamination screen degenerated into a cross join:\n$plan")
@@ -216,7 +219,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q105 repetition signals aggregate map-side (two-phase HashAggregate)") {
     val df = SparkEntry.queries("q105_repetition_signals")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert("HashAggregate".r.findAllIn(plan).length >= 2, s"no two-phase aggregate:\n$plan")
   }
 
@@ -226,10 +229,11 @@ class PlanQualitySpec extends AnyFunSuite {
     Seq("q116_unicode_normalize", "q117_pii_redact").foreach { q =>
       val df = SparkEntry.queries(q)(spark, TestSpark.Sf)
       df.collect() // AQE only materializes the final (codegen'd) plan after execution
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
         s"$q is not map-only:\n$plan")
-      assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      assert(PlanText.finalNodes(df).exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
         s"$q fell out of whole-stage codegen:\n$plan")
     }
   }
@@ -245,7 +249,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q120 split-leakage probe joins on the 5-gram string (no cross join)") {
     val df = SparkEntry.queries("q120_split_leakage")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"leakage probe degenerated into a cross join:\n$plan")
   }
@@ -257,7 +261,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val logical = df.queryExecution.analyzed.toString
     assert(logical.contains("count(1)"), s"no in-DAG corpus total:\n$logical")
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // exactly one deliberate scalar broadcast (the 1-row total); the
     // token->logprob join itself must stay an equi-join
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
@@ -269,7 +273,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q122 sorted-neighborhood window partitions by block (no single-partition window)") {
     val df = SparkEntry.queries("q122_sorted_neighborhood")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the SNM window must shuffle on the block key, never collapse the
     // corpus into one partition; and there is no join at all — the
     // neighbor pairing is window-local
@@ -284,7 +288,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q124 bigram model joins are all equi (bigram/prev keys, no cross join)") {
     val df = SparkEntry.queries("q124_bigram_logprob")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"bigram model join degenerated:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -294,7 +298,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q125 profile avoids the Expand shape (stack unpivot, map-side dedup)") {
     val df = SparkEntry.queries("q125_table_profile")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the wide multi-count-distinct form would show an Expand duplicating
     // every row per column ahead of the shuffle
     assert(!plan.contains("Expand"), s"profile degenerated into Expand:\n$plan")
@@ -305,7 +309,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q126 robust outliers: histogram medians, source-partitioned windows, equi joins") {
     val df = SparkEntry.queries("q126_robust_outliers")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"median join degenerated:\n$plan")
     // the median windows run over the bounded histogram, partitioned by
@@ -318,7 +322,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q127 KL drift: equi joins on token, in-DAG corpus scalar, no double-sum") {
     val df = SparkEntry.queries("q127_kl_drift")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // exactly one deliberate scalar cross join (the broadcast total);
     // the token joins stay equi
     assert("BroadcastNestedLoopJoin|CartesianProduct".r.findAllIn(plan).length <= 1,
@@ -330,7 +334,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q128 heavy hitters bound the shuffle via WindowGroupLimit") {
     val df = SparkEntry.queries("q128_heavy_hitters")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("WindowGroupLimit"),
       s"rank<=k did not compile to WindowGroupLimit:\n$plan")
   }
@@ -338,7 +342,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q129 novelty attribution joins on the gram string (no cross join)") {
     val df = SparkEntry.queries("q129_temporal_novelty")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"novelty join degenerated:\n$plan")
   }
@@ -346,7 +350,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q130 cohesion: two-phase aggregates over the dim explode, per-label equi join") {
     val df = SparkEntry.queries("q130_cluster_cohesion")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"label join degenerated:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -356,7 +360,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q132 paragraph dedup: block-frequency join is an equi-join, two-phase agg") {
     val df = SparkEntry.queries("q132_paragraph_dedup")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"block join degenerated:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
@@ -366,7 +370,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q133 span coverage: gram join stays equi, islands are one window pass per doc") {
     val df = SparkEntry.queries("q133_dup_span_coverage")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"gram join degenerated:\n$plan")
   }
@@ -374,7 +378,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q134 BPE pairs: top-32 via TakeOrderedAndProject, vocab aggregated before pair explode") {
     val df = SparkEntry.queries("q134_bpe_pairs")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("TakeOrderedAndProject"), s"top-32 global-sorted:\n$plan")
     // the word-frequency aggregate must run below the pair explode —
     // generate appearing above an aggregate in the plan tree
@@ -385,7 +389,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q135 hard negatives: query side broadcast, WindowGroupLimit caps the shuffle") {
     val df = SparkEntry.queries("q135_hard_negatives")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
@@ -394,7 +398,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q136 degree dist: band join stays equi, degree rollup is hash-aggregated") {
     val df = SparkEntry.queries("q136_dedup_degree_dist")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"band join degenerated:\n$plan")
     assert(plan.contains("HashAggregate"), s"degree rollup not hash-aggregated:\n$plan")
@@ -403,7 +407,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q137 prefix clusters: pure groupBy on the prefix key, no joins at all") {
     val df = SparkEntry.queries("q137_prefix_clusters")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("Join"), s"prefix clustering should not join:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"prefix aggregate not two-phase:\n$plan")
@@ -412,7 +416,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q139 calibration: candidate generation is the band equi-join, not a cross join") {
     val df = SparkEntry.queries("q139_minhash_calibration")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"calibration pair join degenerated:\n$plan")
   }
@@ -420,14 +424,14 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q140 priority sample: rank<=k compiles to WindowGroupLimit") {
     val df = SparkEntry.queries("q140_priority_sample")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
   test("q141 partitioned read: source predicate resolves as a PartitionFilter at planning time") {
     val df = SparkEntry.queries("q141_partition_prune")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("PartitionFilters") && plan.matches("(?s).*PartitionFilters: \\[[^\\]]*source[^\\]]*\\].*"),
       s"source filter not a partition filter:\n$plan")
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*n_chars[^\\]]*\\].*"),
@@ -437,7 +441,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q142 bucketed join: no exchange below the SortMergeJoin (bucketing consumed)") {
     val df = SparkEntry.queries("q142_bucketed_join")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("SortMergeJoin"), s"merge hint not honored:\n$plan")
     val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
     assert(!belowJoin.contains("Exchange"),
@@ -447,7 +451,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q143 ORC read: quantity predicate pushed into the ORC scan") {
     val df = SparkEntry.queries("q143_orc_roundtrip")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
       s"l_quantity filter not pushed to the ORC scan:\n$plan")
   }
@@ -455,7 +459,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q144 native sessions: both aggregates share the one user_id shuffle") {
     val df = SparkEntry.queries("q144_session_window_native")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("SessionWindow") || plan.contains("session_window"),
       s"native session window missing:\n$plan")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
@@ -466,7 +470,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q146 DPP: fact scan carries a dynamic-pruning subquery on source") {
     val df = SparkEntry.queries("q146_dynamic_partition_prune")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning in:\n$plan")
   }
@@ -474,7 +478,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q147 zone maps: pure two-phase aggregates, no join anywhere") {
     val df = SparkEntry.queries("q147_zone_map_skipping")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("Join"), s"zone-map audit should not join:\n$plan")
     assert(plan.contains("HashAggregate"), s"bucket stats not hash-aggregated:\n$plan")
   }
@@ -482,7 +486,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q148 skew diagnosis: union of bounded aggregates, no join") {
     val df = SparkEntry.queries("q148_skew_diagnosis")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("Join"), s"skew diagnosis should not join:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"key frequency not two-phase:\n$plan")
@@ -491,7 +495,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q149 CDC compaction: latest-per-key is WindowGroupLimit, apply is an equi-join") {
     val df = SparkEntry.queries("q149_cdc_compaction")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"CDC apply degenerated:\n$plan")
@@ -500,7 +504,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q131 separation: pair join is an equi-join on the dimension index") {
     val df = SparkEntry.queries("q131_cluster_separation")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"centroid pair join degenerated:\n$plan")
   }
@@ -508,7 +512,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q119 zipf fit: top-64 via TakeOrderedAndProject, two-phase token aggregate") {
     val df = SparkEntry.queries("q119_zipf_fit")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-64 must not be a global sort:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -518,7 +522,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q150 bloom filter: bitmap and dim both broadcast — fact never shuffles for the joins") {
     val df = SparkEntry.queries("q150_bloom_runtime_filter")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
       s"bitmap/dim join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
@@ -528,7 +532,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q151 co-occurrence: pair generation is an equi-join on the order key") {
     val df = SparkEntry.queries("q151_cooccurrence_pairs")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pair join degenerated:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
@@ -538,7 +542,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q152 incremental view: delta join broadcasts the dim; base is never joined row-wise") {
     val df = SparkEntry.queries("q152_incremental_view")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastHashJoin"), s"changelog dim join not broadcast:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 4,
       s"base/delta aggregates not two-phase:\n$plan")
@@ -547,7 +551,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q154 json roundtrip: column pruning reaches the scan — text is never parsed") {
     val df = SparkEntry.queries("q154_json_roundtrip")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("FileScan json"), s"not a json scan:\n$plan")
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
     assert(readSchema.nonEmpty && !readSchema.contains("text"),
@@ -557,7 +561,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q155 count-min: sketch probe is a broadcast join, sketch built two-phase") {
     val df = SparkEntry.queries("q155_countmin_sketch")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastHashJoin"), s"sketch probe not broadcast:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"probe join degenerated:\n$plan")
@@ -566,7 +570,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q156 inverted index: top-32 by df is TakeOrderedAndProject, no cartesian") {
     val df = SparkEntry.queries("q156_inverted_index")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("TakeOrderedAndProject"), s"global sort for a top-32:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
   }
@@ -574,7 +578,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q157 weighted sample: per-source top-5 gets WindowGroupLimit map-side") {
     val df = SparkEntry.queries("q157_weighted_sample")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("WindowGroupLimit"),
       s"rank filter not pushed below the window shuffle:\n$plan")
   }
@@ -582,7 +586,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q158 knn graph: candidate generation is the bucket equi-join, never all-pairs") {
     val df = SparkEntry.queries("q158_knn_graph")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"bucket self-join degenerated to all-pairs:\n$plan")
     assert(plan.contains("Window"), s"top-k rank window missing:\n$plan")
@@ -591,7 +595,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q159 zorder: bounds are one in-DAG scalar broadcast; stats are two-phase") {
     val df = SparkEntry.queries("q159_zorder_layout")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
       s"dim bounds not broadcast into the DAG (q86 rule):\n$plan")
     assert(plan.contains("Window"), s"layout assignment window missing:\n$plan")
@@ -602,7 +606,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q160 triangles: wedge join is an equi-join over the checkpointed oriented edges") {
     val df = SparkEntry.queries("q160_triangle_count")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), s"wedge join missing/degenerate:\n$plan")
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
@@ -612,7 +616,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q161 star contraction: components read the checkpointed star edges, no cartesian") {
     val df = SparkEntry.queries("q161_cc_star")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"component summary degenerated:\n$plan")
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
@@ -622,7 +626,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q162 containment: candidates come from the band equi-join, never all-pairs") {
     val df = SparkEntry.queries("q162_containment")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"containment candidate join degenerated to all-pairs:\n$plan")
   }
@@ -630,7 +634,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q163 compaction plan: manifest window + two-phase bin stats, no joins") {
     val df = SparkEntry.queries("q163_compaction_plan")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("Window"), s"running-sum window missing:\n$plan")
     assert(!plan.contains("Join"), s"unexpected join in a metadata-only plan:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -640,7 +644,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q164 hll: register table is a two-phase aggregate, audit join stays equi") {
     val df = SparkEntry.queries("q164_hll_sketch")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"audit join degenerated:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 4,
@@ -650,7 +654,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q165 join forecast: never touches a row-level join — only key-count tables meet") {
     val df = SparkEntry.queries("q165_join_size_forecast")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"forecast degenerated to a row-level product:\n$plan")
     assert(plan.contains("FullOuter"), s"key full-outer missing:\n$plan")
@@ -661,7 +665,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q166 k-core: rounds are semi-joins against checkpointed survivors") {
     val df = SparkEntry.queries("q166_kcore_peel")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct"),
       s"peel round degenerated:\n$plan")
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
@@ -671,7 +675,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q167 mrl audit: both brute-force passes broadcast the query side") {
     val df = SparkEntry.queries("q167_mrl_truncation")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
     assert(plan.contains("Scan ExistingRDD"),
@@ -681,7 +685,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q168 seasonal monitor: per-slot aggregates two-phase, baseline join stays equi") {
     val df = SparkEntry.queries("q168_seasonal_anomaly")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"baseline join degenerated:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -691,7 +695,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q169 entropy: one explode, two partial-aggregable rollups, no joins") {
     val df = SparkEntry.queries("q169_char_entropy")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("Join"), s"unexpected join in a per-doc pipeline:\n$plan")
     assert(plan.contains("Generate"), s"char explode missing:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -701,7 +705,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q170 triples: order-key equi-joins, top-32 is TakeOrderedAndProject") {
     val df = SparkEntry.queries("q170_frequent_triples")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"triple expansion degenerated to a product:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
@@ -711,7 +715,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q171 path mining: one session-key window, no joins, two-phase path counts") {
     val df = SparkEntry.queries("q171_path_mining")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("Join"), s"unexpected join in a window-only pipeline:\n$plan")
     assert(plan.contains("Window"), s"lead() window missing:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -721,7 +725,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q172 decay: anchor is an in-DAG broadcast scalar; weights aggregate two-phase") {
     val df = SparkEntry.queries("q172_decayed_popularity")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
       s"anchor date not broadcast into the DAG (q86 rule):\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -731,7 +735,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q173 rrf: both retrieval lists truncate via TakeOrderedAndProject before fusion") {
     val df = SparkEntry.queries("q173_hybrid_rrf")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
       s"top-20 truncation not map-side on both lists:\n$plan")
     assert(plan.contains("FullOuter"), s"fusion full-outer missing:\n$plan")
@@ -740,7 +744,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q153 pagerank: iterations reuse the checkpointed edge list, no cartesian") {
     val df = SparkEntry.queries("q153_pagerank")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"rank propagation degenerated:\n$plan")
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
@@ -750,7 +754,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q255 advisor: run statistics windows partition by (cname, bkt), not cname alone") {
     val df = SparkEntry.queries("q255_encoding_advisor")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the distributed form: every corpus-sized window keys on the bucket —
     // a cname-only partitioning would drag all rows through 4 partitions
     assert(plan.contains("hashpartitioning(cname") && plan.contains("bkt"),
@@ -761,7 +765,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q251 bfs: frontier expansion is an equi-join over the checkpointed edges") {
     val df = SparkEntry.queries("q251_multi_source_bfs")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"frontier expansion degenerated to a product:\n$plan")
     assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
@@ -771,7 +775,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q272 local clustering: wedge join and closure are equi-joins, corner explode present") {
     val df = SparkEntry.queries("q272_local_clustering")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"wedge enumeration degenerated to a product:\n$plan")
     assert(plan.contains("Generate"), s"triangle corner explode missing:\n$plan")
@@ -781,7 +785,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q256 fastss: candidates come from a variant equi-join, never a cross product") {
     val df = SparkEntry.queries("q256_fuzzy_join_fastss")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"candidate generation degenerated to |U|x|V|:\n$plan")
     // the verify is the native codegen'd expression (executed-plan tree
@@ -825,7 +829,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // every lineitem row 4x ahead of the shuffle
     val df = SparkEntry.queries("q322_column_profile")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("Expand"), s"profile degenerated into Expand:\n$plan")
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"per-value aggregate not map-side combined:\n$plan")
@@ -911,7 +915,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // values) would be both slow and skewed at 100 TB
     val df = SparkEntry.queries("q352_curation_pipeline")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("CartesianProduct"),
       s"cartesian product in the pipeline:\n$plan")
     assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
@@ -927,7 +931,7 @@ class PlanQualitySpec extends AnyFunSuite {
     for (name <- Seq("q356_mann_whitney", "q357_kruskal_wallis")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       // ranks must come from the per-value grid (two-phase counts), not
       // a whole-table Window over rows: every Sort in the plan feeds a
       // grid-sized window (bucketed by GridCumulative), and the only
@@ -944,7 +948,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q358 Kendall: pair mass from the bounded grid self-join, docs never pair") {
     val df = SparkEntry.queries("q358_kendall_tau")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the only nested-loop is grid × grid (both sides aggregates of
     // the scan); the doc scan itself must appear exactly once — a
     // second scan or a sort-merge join would mean the N² pair space
@@ -959,7 +963,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q359 BH-FDR: seed fan-out partially aggregates before the shuffle") {
     val df = SparkEntry.queries("q359_bh_fdr")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the S×N exploded rows must map-side combine into S×cells partial
     // sums (Generate followed by a partial HashAggregate) — shuffling
     // the fan-out raw would move S copies of the corpus
@@ -974,7 +978,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q361 Theil-Sen: slopes from the broadcast day-grid self-join only") {
     val df = SparkEntry.queries("q361_theilsen_slope")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"day-grid self-join missing:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
@@ -994,7 +998,7 @@ class PlanQualitySpec extends AnyFunSuite {
         "q204_score_calibration", "q159_zorder_layout")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       val windows = "Window \\[[^\\n]*".r.findAllIn(plan).toSeq
       val partitioned = windows.count(w =>
         "Window \\[[^\\n]*\\], \\[[^\\n]*\\], \\[".r.findFirstIn(w).isDefined)
@@ -1013,7 +1017,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q360 ERR: per-query windows partition by customer; no join anywhere") {
     val df = SparkEntry.queries("q360_err_ranking")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("Join"), s"ERR needs no join:\n$plan")
     assert(plan.contains("Window") && !plan.contains("No Partition Defined"),
       s"rank window missing or unpartitioned:\n$plan")
@@ -1022,7 +1026,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q372 ordinal association: pair mass from the bounded grid self-join only") {
     val df = SparkEntry.queries("q372_ordinal_association")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the q358 contract: the only nested-loop is grid × grid; a
     // sort-merge join or cartesian over rows would be the N² pair space
     assert(plan.contains("BroadcastNestedLoopJoin"),
@@ -1036,7 +1040,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q378 Jonckheere: 2D dominance count over the grid, no pair join, windows partitioned") {
     val df = SparkEntry.queries("q378_jonckheere")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // pair masses must come from windows over the dense grid — never a
     // row-space join; the only nested-loop is the ≤20-row source-list
     // broadcast that densifies the grid
@@ -1051,7 +1055,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q381 Lin CCC: keyed join of the two money streams, never a pair space") {
     val df = SparkEntry.queries("q381_lin_ccc")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // orders ⋈ per-order revenue is an equi-join on the order key (the
     // bucketed-join shape at cluster scale); each table scans once
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -1065,7 +1069,7 @@ class PlanQualitySpec extends AnyFunSuite {
         "q386_mantel_haenszel")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
         s"$name shuffles a row join:\n$plan")
       assert(!plan.contains("No Partition Defined"),
@@ -1078,7 +1082,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q385 weighted kappa: margins cross only on the bounded 10x10 grid") {
     val df = SparkEntry.queries("q385_weighted_kappa")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // rt × ct is ≤10 × ≤10 and must broadcast; a sort-merge join or
     // cartesian would mean the expected mass paired data-scale rows
     assert(plan.contains("BroadcastNestedLoopJoin"),
@@ -1094,7 +1098,7 @@ class PlanQualitySpec extends AnyFunSuite {
     for (name <- Seq("q387_k_anonymity", "q388_l_diversity")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert(!plan.contains("Expand"), s"$name multiplies the scan:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$name row cross:\n$plan")
     }
@@ -1103,7 +1107,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q389 t-closeness: the class x value grid comes from broadcasts only") {
     val df = SparkEntry.queries("q389_t_closeness")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the full grid (incl. absent cells) is classes × sensitive values —
     // both bounded aggregates; the densify cross and the cell lookup
     // must broadcast, never shuffle-join row-scale relations
@@ -1116,7 +1120,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q390 Good-Turing: successor lookup is a broadcast join, not a global window") {
     val df = SparkEntry.queries("q390_good_turing")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // N_{r+1} must come from the r+1 self-join on the count-of-counts
     // grid; a lead() window here would single-task the whole grid
     assert(!plan.contains("No Partition Defined"),
@@ -1131,7 +1135,7 @@ class PlanQualitySpec extends AnyFunSuite {
     for (name <- Seq("q392_stratified_split", "q393_quantile_normalization")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert(!plan.contains("No Partition Defined"),
         s"$name single-tasks a data-scale window:\n$plan")
       assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
@@ -1142,7 +1146,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q394 Benford: digit spine broadcast, two-phase count aggregate") {
     val df = SparkEntry.queries("q394_benford_audit")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
       s"q394 digit counts not map-side combined:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
@@ -1152,7 +1156,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q395 conformal: quantile via broadcast interval join, no global sort") {
     val df = SparkEntry.queries("q395_conformal_coverage")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the order statistic must come from the bounded value grid — a
     // data-scale sort or unpartitioned rank window would be wrong
     assert(plan.contains("BroadcastNestedLoopJoin"),
@@ -1164,7 +1168,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q396 LSH planner: candidates from the band equi-join, spine math broadcast") {
     val df = SparkEntry.queries("q396_lsh_planner")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // candidate generation must stay the q21 band equi-join — an
     // all-pairs cartesian over docs would defeat the planner's point
     assert(!plan.contains("CartesianProduct"),
@@ -1176,7 +1180,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q397 waterfill: one scan, fold over the source table only") {
     val df = SparkEntry.queries("q397_token_budget_allocation")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert("Scan parquet".r.findAllIn(plan).length <= 1,
       s"q397 re-scans the corpus:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
@@ -1187,7 +1191,7 @@ class PlanQualitySpec extends AnyFunSuite {
     for (name <- Seq("q398_overdispersion", "q399_regression_influence")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert("Scan parquet".r.findAllIn(plan).length <= 1,
         s"$name re-scans events:\n$plan")
       assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
@@ -1198,7 +1202,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q400 Holm: permutation fan-out partially aggregates before the shuffle") {
     val df = SparkEntry.queries("q400_holm_fwer")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     // the q359 contract on the shared fdrPvals pipeline: the seed
     // fan-out must map-side combine to seeds × cells before shuffling
     assert("HashAggregate".r.findAllIn(plan).length >= 2,
@@ -1212,7 +1216,7 @@ class PlanQualitySpec extends AnyFunSuite {
         "q403_quantization_error")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert("Scan parquet".r.findAllIn(plan).length <= 1,
         s"$name re-scans embeddings:\n$plan")
       assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
@@ -1226,7 +1230,7 @@ class PlanQualitySpec extends AnyFunSuite {
     for (name <- Seq("q405_sketch_overlap_matrix", "q406_vocab_novelty_curve")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       // the sketch shuffles k longs per source, not the token stream:
       // partial buffer aggregation must sit below the exchange
       assert(plan.contains("partial_kmvbuffermd5"),
@@ -1240,7 +1244,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // the pair matrix reuses ONE buffer build for both join legs
     val df = SparkEntry.queries("q405_sketch_overlap_matrix")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(plan.contains("ReusedExchange"),
       s"q405 recomputes the token pass for the second leg:\n$plan")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
@@ -1250,7 +1254,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q407/q409 curation dials: broadcast grids, gram-keyed joins, no row-level cross") {
     val df7 = SparkEntry.queries("q407_epoch_allocation")(spark, TestSpark.Sf)
     df7.collect()
-    val p7 = df7.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val p7 = PlanText.planStr(df7)
     // the only joins are broadcasts of the 4-row decay grid and the
     // 1-row total; source stats map-side combine
     assert(!p7.contains("CartesianProduct"), s"q407 row-level cross:\n$p7")
@@ -1259,7 +1263,7 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q407 source stats not map-side combined:\n$p7")
     val df9 = SparkEntry.queries("q409_idf_contamination")(spark, TestSpark.Sf)
     df9.collect()
-    val p9 = df9.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val p9 = PlanText.planStr(df9)
     // the n-gram is its own blocking key: every data-scale join is an
     // equi-join on it; the corpus-size scalar broadcasts
     assert(!p9.contains("CartesianProduct"), s"q409 row-level cross:\n$p9")
@@ -1275,29 +1279,36 @@ class PlanQualitySpec extends AnyFunSuite {
         $"doc_id".as("id"),
         graft.ext.TextAnalysis.charNgramInts($"text", 3).as("grams")), 700000L)
     pf.collect()
-    val p = pf.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val p = PlanText.planStr(pf)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"prefix filter enumerates a pair space:\n$p")
     assert(p.contains("tok"), s"candidate join lost its token key:\n$p")
     // the LSH sweep joins candidates on (band_idx, band_key)
     val df11 = SparkEntry.queries("q411_lsh_recall_curve")(spark, TestSpark.Sf)
     df11.collect()
-    val p11 = df11.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val p11 = PlanText.planStr(df11)
     assert(!p11.contains("CartesianProduct"), s"q411 row-level cross:\n$p11")
   }
 
   test("q412/q413/q414 migration audits: pre-aggregated anti joins, pruned scans, no joins in profiles") {
     val df12 = SparkEntry.queries("q412_fk_orphan_audit")(spark, TestSpark.Sf)
     df12.collect()
-    val p12 = df12.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val p12 = PlanText.planStr(df12)
     // child keys aggregate BEFORE the anti join: shuffle volume is the
-    // distinct key set, and the join itself is a key-equi anti join
-    assert(p12.contains("LeftAnti"), s"q412 lost its anti join:\n$p12")
+    // distinct key set, and the join itself is a key-equi anti join.
+    // Assert the join TYPE on the optimized logical plan — the r12
+    // flake was this check grepping the AQE final-plan string, where
+    // the anti join can lawfully VANISH at runtime (empty-relation
+    // propagation when the orphan side is empty) or hide behind a
+    // reuse pointer depending on session-wide exchange state.
+    assert(PlanText.logicalJoinTypes(df12)
+        .contains(org.apache.spark.sql.catalyst.plans.LeftAnti),
+      s"q412 lost its anti join (optimizedPlan):\n${df12.queryExecution.optimizedPlan}")
     assert(!p12.contains("CartesianProduct"), s"q412 row-level cross:\n$p12")
     for (name <- Seq("q413_numeric_width_audit", "q414_string_width_audit")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       // pure single-scan profiles: no join anywhere, and every scan is
       // pruned to its audited column
       assert(!plan.contains("Join"), s"$name joins:\n$plan")
@@ -1309,7 +1320,7 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q391 Kneser-Ney: per-doc windows, keyed model joins, top-k without global sort") {
     val df = SparkEntry.queries("q391_kneser_ney")(spark, TestSpark.Sf)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = PlanText.planStr(df)
     assert(!plan.contains("No Partition Defined"),
       s"q391 has a data-scale unpartitioned window:\n$plan")
     assert(!plan.contains("CartesianProduct"),
@@ -1331,7 +1342,7 @@ class PlanQualitySpec extends AnyFunSuite {
     val checkpointed = Seq("q358_kendall_tau", "q385_weighted_kappa")
     for (name <- kernelVisible ++ checkpointed) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = PlanText.planStr(df)
       for (op <- Seq("regexp_replace", "regexp_count", "regexp_extract", "split(")) {
         assert(!plan.toLowerCase.contains(op),
           s"$name reintroduced $op on the scan path:\n$plan")
@@ -1346,8 +1357,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // the shared grid is checkpointed, so (a) the grid's own plan must
     // be the one pruned corpus scan, and (b) the final plans must be
     // entirely grid-sized: ZERO parquet scans, no row-level cross join
-    val gplan = graft.operators.Round12Queries
-      .driftGrid(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+    val gplan = PlanText.planStr(
+      graft.operators.Round12Queries.driftGrid(spark, TestSpark.Sf))
     assert("Scan parquet".r.findAllIn(gplan).length == 1,
       s"drift grid reads the corpus more than once:\n$gplan")
     assert(gplan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
@@ -1356,7 +1367,7 @@ class PlanQualitySpec extends AnyFunSuite {
         "q419_psi_deciles")) {
       val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
       df.collect()
-      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val plan = PlanText.planStr(df)
       assert(!"Scan parquet".r.findFirstIn(plan).isDefined,
         s"$name re-reads the corpus past the checkpointed grid:\n$plan")
       assert(!plan.contains("CartesianProduct"),

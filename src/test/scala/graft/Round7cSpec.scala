@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -52,7 +54,7 @@ class Round7cSpec extends AnyFunSuite {
 
   test("q182 query-term join is broadcast (no shuffle for the 3-term side)") {
     val plan = q("q182_bm25")(spark, TestSpark.Sf)
-      .queryExecution.executedPlan.toString
+      .planText
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -79,7 +81,7 @@ class Round7dSpec extends AnyFunSuite {
 
   test("q187 probe side is broadcast (candidate scan never shuffles)") {
     val plan = q("q187_label_noise")(spark, TestSpark.Sf)
-      .queryExecution.executedPlan.toString
+      .planText
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
@@ -101,7 +103,7 @@ class Round7dSpec extends AnyFunSuite {
 
   test("q188 rank windows are shard-partitioned (no global sort)") {
     val plan = q("q188_epoch_shuffle")(spark, TestSpark.Sf)
-      .queryExecution.executedPlan.toString
+      .planText
     // both row_number windows ride ONE shard-hash exchange; the final
     // SinglePartition exchange carries only the per-shard aggregate rows
     assert(plan.contains("hashpartitioning(shard"))

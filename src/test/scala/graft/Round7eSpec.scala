@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -80,7 +82,7 @@ class Round7eSpec extends AnyFunSuite {
     val got = df.as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == expected)
     // the weight is a pure expression of the token hash: no join anywhere
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(!plan.contains("Join"), "scorer must be join-free")
   }
 

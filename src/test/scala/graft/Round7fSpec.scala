@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -61,7 +63,7 @@ class Round7fSpec extends AnyFunSuite {
     // the pairwise stage joins |sources|² signature rows, never content:
     // the sig×sig join is a broadcast nested-loop over the tiny
     // aggregated side (the only non-equi join in the plan)
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
@@ -106,7 +108,7 @@ class Round7fSpec extends AnyFunSuite {
     val got = df.as[(String, String, Long, Long)].collect().toSeq
     assert(got == expected)
     // the top-50 cut never globally sorts: partial per-partition top-k
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
@@ -138,7 +140,7 @@ class Round7fSpec extends AnyFunSuite {
     assert(got == expected)
     // the kept branch's rank-filter compiles to WindowGroupLimit: each
     // map task pre-prunes buckets to ≤20 rows before the bk shuffle
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("WindowGroupLimit"),
       "filter(rn <= 20) directly above the window must compile to WindowGroupLimit")
     // the totals branch must NOT pay the window: exactly one Window

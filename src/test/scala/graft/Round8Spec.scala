@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -44,7 +46,7 @@ class Round8Spec extends AnyFunSuite {
     assert(single.forall { case (id, worst) => multi(id) >= worst - 1e-12 })
     // scale shape: candidates come from a bucket equi-join, never a
     // cross product, and the every-node query side is not broadcast
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
@@ -79,7 +81,7 @@ class Round8Spec extends AnyFunSuite {
     // intra-shard as uniform hashing (it is equality on band 0's key)
     assert(intraBand >= intraHash)
     // all joins are equi-joins on id/band keys — no cross product
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(!plan.contains("CartesianProduct"))
   }
 
@@ -142,7 +144,7 @@ class Round8Spec extends AnyFunSuite {
     val got = df.as[(Long, Long, Double, Double)].collect().toSeq
     assert(got == Seq(expected))
     // both bottom-k cuts are partial top-k merges, not global sorts
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("TakeOrderedAndProject"))
   }
 

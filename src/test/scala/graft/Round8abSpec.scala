@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -134,7 +136,7 @@ class Round8abSpec extends AnyFunSuite {
     val counts = got.groupBy(_._1).view.mapValues(_.size).toMap
     assert(strata.forall { case (l, sz) => counts(l) == math.min(40, sz) })
     // the rank filter prunes map-side: WindowGroupLimit in the physical plan
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = df.planText.split("== Initial Plan ==").head
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -95,7 +97,7 @@ class Round8bSpec extends AnyFunSuite {
     // the spread reached beyond the seed set
     assert(got.exists(r => r._3 >= 1L))
     // graph build + propagation are equi-joins only
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
@@ -138,7 +140,7 @@ class Round8bSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == n)
     assert(got.map(_._4) == got.map(_._4).sorted)
     // the grid joins back by broadcast — no shuffle of the doc table for it
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct"))
   }
@@ -172,7 +174,7 @@ class Round8bSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
     // every distance evaluation is against a broadcast center row — the
     // corpus side never shuffles for a join
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(!plan.contains("SortMergeJoin"))
   }
 
@@ -223,7 +225,7 @@ class Round8bSpec extends AnyFunSuite {
     assert(got.forall(_._5 >= 2L))
     // per-step selection is a rank-1 group limit: losers never leave the
     // map side of the window
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("WindowGroupLimit"))
     assert(!plan.contains("CartesianProduct"))
   }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -91,7 +93,7 @@ class Round8cSpec extends AnyFunSuite {
     assert(got.map(_._5).sum >= 1L)
     // ADC candidate scoring is a hash join against the broadcast LUT —
     // no per-candidate vector math and no cross product in the scoring path
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("BroadcastHashJoin"))
   }
 

@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -155,7 +157,7 @@ class Round8dSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._5).sum - 1000000L) <= got.size)
     // assignment is a broadcast-centroid pass — no shuffle join of the
     // corpus against the centroid table
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(!plan.contains("SortMergeJoin"))
   }
 }

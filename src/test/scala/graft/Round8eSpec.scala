@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -59,7 +61,7 @@ class Round8eSpec extends AnyFunSuite {
     assert(got.forall(r => r._3 <= r._2 && r._2 <= r._4))
     // shard summaries are map-side group limits; the exact audit is a
     // TakeOrdered, not a global sort
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("WindowGroupLimit"))
     assert(plan.contains("TakeOrderedAndProject"))
   }

@@ -1,5 +1,7 @@
 package graft
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -137,7 +139,7 @@ class Round8oSpec extends AnyFunSuite {
     val got = df.as[(String, Long, Long, Long, Long, String)].collect().toSeq
     assert(got == expected)
     // the dictionary side must broadcast — the corpus never re-partitions
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.planText
     assert(plan.contains("BroadcastHashJoin"))
   }
 

@@ -1,5 +1,7 @@
 package graft.catalog
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.TestSpark
@@ -46,7 +48,7 @@ class SkewSpec extends AnyFunSuite {
       // materialize THIS DataFrame's execution (count() would build a
       // separate one and leave this plan un-finalized)
       assert(joined.collect().length == 20200)
-      val plan = joined.queryExecution.executedPlan.toString
+      val plan = joined.planText
       assert(plan.contains("SortMergeJoin") && plan.contains("skew=true"), plan)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)

@@ -1,5 +1,7 @@
 package graft.ext
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
@@ -48,7 +50,7 @@ class IntervalJoinSpec extends AnyFunSuite {
   test("the plan is an equi-join on the bucket id, not a nested loop") {
     val plan = IntervalJoin.pointInterval(pts, "o_totalprice", bands, "lo", "hi",
         bucketWidth = 20000.0)
-      .queryExecution.executedPlan.toString
+      .planText
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
@@ -77,7 +79,7 @@ class IntervalJoinSpec extends AnyFunSuite {
     val r = spark.range(0, 30).select($"id".as("band_id"),
       ($"id" * 20000.0 - 5000.0).as("r_lo"), ($"id" * 20000.0 + 25000.0).as("r_hi"))
     val plan = IntervalJoin.intervalOverlap(l, "l_lo", "l_hi", r, "r_lo", "r_hi", 20000.0)
-      .queryExecution.executedPlan.toString
+      .planText
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 }

@@ -1,5 +1,7 @@
 package graft.io
 
+import graft.PlanText.PlanTextOps
+
 import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -22,7 +24,7 @@ class PartitionPruningSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
 
     val read = spark.read.parquet(dir).filter($"o_orderstatus" === "F")
-    val scan = read.queryExecution.executedPlan.toString
+    val scan = read.planText
 
     // the predicate must land in PartitionFilters (pruned listing),
     // not in DataFilters/PushedFilters (read-then-drop)
@@ -40,7 +42,7 @@ class PartitionPruningSpec extends AnyFunSuite {
     // columns must not schema-read the rest
     val narrow = spark.read.parquet(dir)
       .filter($"o_orderstatus" === "F").select("o_orderkey")
-    val narrowScan = narrow.queryExecution.executedPlan.toString
+    val narrowScan = narrow.planText
     assert(narrowScan.contains("ReadSchema: struct<o_orderkey:bigint>"), narrowScan)
   }
 }

@@ -1,5 +1,7 @@
 package graft.plans
 
+import graft.PlanText.PlanTextOps
+
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,7 +64,7 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     val df = AsOfJoinOps.asofBackward(ev, orders,
       key = ("user_id", "o_custkey"), time = ("tsec", "o_ts"))
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val plan = df.planText.split("== Initial Plan ==").head
     assert(plan.contains("AsOfJoin"), s"native operator not planned:\n$plan")
     assert(!plan.contains("Window"), s"window smuggled back in:\n$plan")
     // row-count semantics: exactly one output row per left row
