@@ -15,7 +15,7 @@ Buckets:
 
 Dev-only tooling (like validate.py): the shipped library has no Python.
 """
-import json, sys, statistics
+import json, statistics
 
 REPO = "/root/repo"
 
@@ -59,6 +59,7 @@ for name, rr in [("ENV (r09now/pin)", env), ("CODE (r12now/r09now)", code)]:
 # top absolute movers in the code bucket
 print("top absolute CODE movers (|delta| > 0.5 s):")
 deltas = sorted(((abs(r12_now[q]) - abs(r09_now[q]), q) for q in common))
-for d, q in deltas[:8] + deltas[-8:]:
+movers = deltas[:8] + deltas[-8:] if len(deltas) > 16 else deltas
+for d, q in movers:
     if abs(d) > 0.5:
         print(f"    {q:38s} {abs(r09_now[q]):6.2f} -> {abs(r12_now[q]):6.2f} s  ({d:+.2f})")

@@ -42,11 +42,33 @@ object BenchClose {
     }
   }
 
+  /** The SF dir the committed pins are defined over. */
+  val DefaultSfDir = "/root/testdata/sf0.1"
+
+  /** bench/latest.json and <tag>_final.json are judge-read pins defined
+    * at the default SF — a run against a probe dir must not silently
+    * repoint them (ADVICE r12). Probes belong on graft.Bench with
+    * SPARK_GRAFT_BENCH_OUT; forcePin overrides deliberately.
+    */
+  def requirePinnableSf(sfDir: String, forcePin: Boolean): Unit =
+    require(sfDir == DefaultSfDir || forcePin,
+      s"SPARK_GRAFT_SF_DIR=$sfDir is not the pin's scale ($DefaultSfDir); " +
+        "refusing to overwrite bench/latest.json. Use graft.Bench with " +
+        "SPARK_GRAFT_BENCH_OUT for probes, or pass --force-pin.")
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: BenchClose <roundTag>  (e.g. r12)")
+    require(args.length >= 1,
+      "usage: BenchClose <roundTag> [--force-pin]  (e.g. r12)")
     val tag = args(0)
     require(tag.matches("r\\d+"), s"roundTag must look like r12; got $tag")
+    requirePinnableSf(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir),
+      args.contains("--force-pin"))
 
+    // box-calibration probe FIRST (own fresh session, frozen synthetic
+    // data): the per-shape ratios that let future rounds read this
+    // round's battery numbers against a different box (BENCHNOTES
+    // "Box calibration")
+    Calibration.run(s"bench/${tag}_calibration.json")
     // full battery, min-of-2, to <tag>_final.json
     Bench.measure(only = None, outPath = s"bench/${tag}_final.json", reps = 2)
     // pin latest.json to the SAME line

@@ -90,7 +90,16 @@ object Round12Queries {
     // All comparisons are cross-multiplied exact integers
     // (|cumA·nB − cumB·nA| in DECIMAL(38,0) vs DuckDB HUGEINT);
     // doubles appear only in the final scalar chains, written with
-    // IDENTICAL expression text on both engines.
+    // IDENTICAL expression text on both engines. Where an exact
+    // integer is itself an OUTPUT column (q417 d_num, q418 w1_num),
+    // the oracle narrows it to BIGINT at the very end: that cast is a
+    // gate-representation constraint, not an engine-type claim — the
+    // driver's duckdb→pandas bridge degrades both HUGEINT and
+    // DECIMAL(38,0) to float64 ("12345.0", 1e+26), which would break
+    // the exact string-repr compare, while BIGINT survives verbatim.
+    // The narrowing is safe to |d_num| < 2^63, i.e. ~3e9 docs per
+    // split; the engine-side arithmetic stays DECIMAL(38,0)/HUGEINT
+    // throughout (r12 ADVICE, adjudicated with a measured probe).
 
     // Kolmogorov–Smirnov two-sample: D = sup|F_A − F_B| — the classic
     // nonparametric drift alarm (q357 ranks; this sups the CDF gap).

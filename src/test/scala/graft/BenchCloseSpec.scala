@@ -27,4 +27,28 @@ class BenchCloseSpec extends AnyFunSuite {
       assert(SparkEntry.oracleSql.contains(n), s"$n has no oracle")
     }
   }
+
+  test("non-default SF dir cannot silently repoint the bench pin") {
+    BenchClose.requirePinnableSf(BenchClose.DefaultSfDir, forcePin = false)
+    BenchClose.requirePinnableSf("/tmp/scale_x100", forcePin = true)
+    intercept[IllegalArgumentException] {
+      BenchClose.requirePinnableSf("/tmp/scale_x100", forcePin = false)
+    }
+  }
+
+  test("calibration shapes: fixed trio, scalar outputs, no cartesian") {
+    import graft.PlanText.PlanTextOps
+    val spark = TestSpark.spark
+    assert(Calibration.shapes.map(_._1) == Seq("scan", "shuffle", "graph"))
+    Calibration.shapes.foreach { case (name, fn) =>
+      val df = fn(spark)
+      // shape-pure microqueries fold to a handful of scalar columns —
+      // the sink cost must be nil so the timing is the shape itself
+      assert(df.schema.fields.length <= 2, s"$name output not scalar-sized")
+      // plan inspection only (no execution — the shapes are sized in
+      // seconds, not test-budget): the graph shape must be a keyed
+      // equi-join, never a row cross
+      assert(!df.planText.contains("CartesianProduct"), s"$name crosses")
+    }
+  }
 }
