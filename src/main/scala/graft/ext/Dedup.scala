@@ -115,13 +115,21 @@ object Dedup {
     * (id, hs) projection (read again by every caller's verify
     * join-back) plus the deduped id_a < id_b candidate pairs from the
     * band equi-join. */
-  private[graft] def lshCandidates(hashedDocs: DataFrame, nBands: Int): (DataFrame, DataFrame) = {
-    val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
+  /** The (id, band_idx, band_key) index rows that lshCandidates
+    * equi-joins — exposed so scale probes (BandHistogram) can measure
+    * the bucket-size distribution of the EXACT index the production
+    * path joins on, not a reconstruction of it. */
+  private[graft] def bandIndex(hs: DataFrame, nBands: Int): DataFrame = {
     val mhs = (0 until nBands * 2).map(s => minhashInt(col("hs"), s))
     val bands = (0 until nBands).map(b =>
       struct(lit(b).as("band_idx"), bandKey(Seq(mhs(2 * b), mhs(2 * b + 1))).as("band_key")))
-    val banded = hs.select(col("id"), explode(array(bands: _*)).as("band"))
+    hs.select(col("id"), explode(array(bands: _*)).as("band"))
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
+  }
+
+  private[graft] def lshCandidates(hashedDocs: DataFrame, nBands: Int): (DataFrame, DataFrame) = {
+    val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
+    val banded = bandIndex(hs, nBands)
     val cand = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
       .join(banded.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
         Seq("band_idx", "band_key"))
@@ -457,17 +465,26 @@ object Dedup {
     * verify is the codegen'd two-pointer SortedLongIntersect — the
     * generic array_intersect verify measured 123 s vs the kernel's
     * on the sf0.1 τ=0.5 sweep). */
-  def prefixFilterPairsMicro(docs: DataFrame, thresholdMicro: Long): DataFrame = {
+  /** The (id, tok, sz, pos) prefix-token index that
+    * prefixFilterPairsMicro self-joins — exposed so scale probes
+    * (BandHistogram) can price the exact side's candidate join from
+    * the real index's token-bucket distribution. */
+  private[graft] def prefixIndex(docs: DataFrame, thresholdMicro: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = thresholdMicro
     val toks = docs.select(col("id"), size(col("grams")).cast("long").as("sz"),
       explode(col("grams")).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
-    val pref = toks.join(freq, Seq("tok"))
+    toks.join(freq, Seq("tok"))
       .withColumn("pos", row_number().over(wOrd).cast("long"))
       .filter(col("pos") <= col("sz") - expr(s"(sz * ${t}L + 999999L) div 1000000L") + 1)
       .select(col("id"), col("tok"), col("sz"), col("pos"))
+  }
+
+  def prefixFilterPairsMicro(docs: DataFrame, thresholdMicro: Long): DataFrame = {
+    val t = thresholdMicro
+    val pref = prefixIndex(docs, t)
     val cand = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id")
           && col("b.sz") * lit(1000000L) >= col("a.sz") * lit(t)
