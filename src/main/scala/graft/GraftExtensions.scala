@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.encoders.encoderFor
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.execution.aggregate.ScalaAggregator
 
-import graft.functions.{DoubleDot, KmvBufferMd5, KmvDistinctMd5, NfcNormalize, SortedLongIntersect, SortedLongJaccard, StripAccents}
+import graft.functions.{DoubleDot, GopherTextStats, KmvBufferMd5, KmvDistinctMd5, NfcNormalize, SortedLongIntersect, SortedLongJaccard, StripAccents, WordStopStats}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions for SQL use.
@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.stripAccentsFn)
     e.injectFunction(GraftExtensions.kmvDistinctFn)
     e.injectFunction(GraftExtensions.kmvBufferFn)
+    e.injectFunction(GraftExtensions.wordStopStatsFn)
+    e.injectFunction(GraftExtensions.gopherTextStatsFn)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -65,6 +67,40 @@ object GraftExtensions {
     ScalaAggregator(exprs, agg, encoderFor(Encoders.STRING),
       encoderFor(agg.bufferEncoder), nullable = true,
       isDeterministic = true, aggregatorName = Some("kmv_distinct_md5_64"))
+  }
+
+  // the fused text kernels take their stop set as a PLAN-TIME literal
+  // (a Java array baked into the generated code), so the SQL forms are
+  //   word_stop_stats(text)              -- canonical Gopher stop set
+  //   word_stop_stats(text, array('the', ...))  -- explicit, foldable
+  // and a non-foldable second argument fails at plan time with a clear
+  // message instead of silently evaluating per row
+  private def literalStops(e: Expression, fname: String): Seq[String] = {
+    val isStringArray = e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    require(e.foldable && isStringArray,
+      s"$fname stop set must be a literal array<string>, got ${e.sql}")
+    val arr = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  private def buildWordStop(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "word_stop_stats(text[, stops])")
+    val stops = if (exprs.length == 2) literalStops(exprs(1), "word_stop_stats")
+      else GopherTextStats.GopherStops
+    WordStopStats(exprs(0), stops)
+  }
+
+  private def buildGopher(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1 || exprs.length == 2,
+      "gopher_text_stats(text[, stops])")
+    val stops = if (exprs.length == 2) literalStops(exprs(1), "gopher_text_stats")
+      else GopherTextStats.GopherStops
+    GopherTextStats(exprs(0), stops)
   }
 
   private def buildKmvBuffer(exprs: Seq[Expression]): Expression = {
@@ -110,6 +146,16 @@ object GraftExtensions {
     new ExpressionInfo(classOf[KmvBufferMd5].getName, "kmv_buffer_md5_256"),
     buildKmvBuffer _)
 
+  val wordStopStatsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_stop_stats"),
+    new ExpressionInfo(classOf[WordStopStats].getName, "word_stop_stats"),
+    buildWordStop _)
+
+  val gopherTextStatsFn: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gopher_text_stats"),
+    new ExpressionInfo(classOf[GopherTextStats].getName, "gopher_text_stats"),
+    buildGopher _)
+
   /** Register on an already-built session (tests, shells). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -130,5 +176,9 @@ object GraftExtensions {
       "nfc_normalize", buildNfc, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "strip_accents", buildStrip, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_stop_stats", buildWordStop, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gopher_text_stats", buildGopher, "built-in")
   }
 }

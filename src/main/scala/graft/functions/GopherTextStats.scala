@@ -136,6 +136,11 @@ case class GopherTextStats(child: Expression, stops: Seq[String])
 }
 
 object GopherTextStats {
+  /** The canonical Gopher-rules stopword set — the default stop set of
+    * the SQL forms `gopher_text_stats(text)` / `word_stop_stats(text)`
+    * and the one the q355/q371 battery pins its oracles to. */
+  val GopherStops: Seq[String] = Seq("the", "a", "of", "to", "and")
+
   /** Column API over a raw text column. */
   def apply(text: Column, stops: Seq[String]): Column =
     Bridge.column(GopherTextStats(Bridge.expression(text), stops))

@@ -122,7 +122,9 @@ object Round11bQueries {
           + (1.0 - CAST(sx AS DOUBLE)/(5.0*CAST(n AS DOUBLE))) * (1.0 - CAST(sx AS DOUBLE)/(5.0*CAST(n AS DOUBLE)))))
        AS kappa""")
 
-  private[graft] val GopherStops = Seq("the", "a", "of", "to", "and")
+  // canonical definition lives with the kernel so the SQL registration
+  // (GraftExtensions) and this battery share ONE stop set
+  private[graft] val GopherStops = graft.functions.GopherTextStats.GopherStops
 
   /** Per-document Gopher rule flags (see q355) — shared with q371's
     * Cochran Q so both sides of both queries compute the rules from
