@@ -44,6 +44,11 @@ object StagedProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     // format kept parseable by the driver's bench-line scraper
     println(s"""{"metric":"staged_$which","value":$sec,"unit":"sec","queries":{"staged_${which}_s$slices":$sec},"rows":$n,"slices":$slices,"sf":"$sfDir"}""")
+    println(s"[staged] Staged.suggestSlices: for this heap " +
+      s"(${Runtime.getRuntime.maxMemory() / (1L << 30)} GiB), state estimates " +
+      s"{100, 200, 400} GiB -> slices {" +
+      Seq(100L, 200L, 400L).map(g =>
+        graft.operators.Staged.suggestSlices(g << 30)).mkString(", ") + "}")
     spark.stop()
   }
 }
