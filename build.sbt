@@ -23,8 +23,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap stays at a fixed 8g default: sizing it to the box was measured
+// and REJECTED this round — at -Xmx50g the q296 wedge aggregate keeps
+// a ~35 GB hash/sort state heap-resident instead of spilling and GC
+// dominates (491 s vs ~30-100 s at 8g, same box/session protocol);
+// 12-24g readings were inside the box's ±2x noise. Spill to fast local
+// disk is the cheaper regime for these one-box batch shapes.
+// SPARK_GRAFT_EXTRA_JAVA_OPTS passes ad-hoc -D/-X flags to forked runs
+// for config experiments without editing the build.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -127,6 +127,29 @@ object Dedup {
       .select(col("id"), col("band.band_idx"), col("band.band_key"))
   }
 
+  /** Partition count for the prefix-filter candidate/verify chain: the
+    * session's shuffle.partitions floor'd by the actual core count.
+    *
+    * The chain's physical shape is ONE whole-stage pipeline — per-doc
+    * prefix window → candidate equi-join on the prefix token (broadcast
+    * build) → pair dedup → gram join-back (broadcast) → two-pointer
+    * verify — all sitting on a single exchange: the window's
+    * hash-by-doc-id shuffle. That exchange carries only narrow
+    * (tok, id, sz, df) rows, so AQE's byte-based coalescing
+    * (minPartitionSize = 1 MB) collapses it to a handful of partitions,
+    * starving a CPU-dense chain whose cost is sorted-array intersects,
+    * not bytes: measured at sf0.1, q410's verify ran 132 task-seconds
+    * on 5 tasks = 34 s wall on a 32-core box. An explicit
+    * `repartition(n, id)` in front of the window pins that one exchange
+    * at full width (AQE never coalesces an explicit-N repartition); the
+    * keys match the window's required clustering, so the pin REPLACES
+    * the planner's exchange rather than adding one — at any scale. */
+  private def verifyParallelism(df: DataFrame): Int = {
+    val ss = df.sparkSession
+    math.max(ss.sparkContext.defaultParallelism,
+      ss.sessionState.conf.numShufflePartitions)
+  }
+
   private[graft] def lshCandidates(hashedDocs: DataFrame, nBands: Int): (DataFrame, DataFrame) = {
     val hs = hashedDocs.select(col("id"), col("hs")).localCheckpoint()
     val banded = bandIndex(hs, nBands)
@@ -425,6 +448,8 @@ object Dedup {
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
     val pref = toks.join(freq, Seq("tok"))
+      // pin the window exchange at full width — see prefixIndex
+      .repartition(verifyParallelism(docs), col("id"))
       .withColumn("pos", row_number().over(wOrd))
       .filter(col("pos") <=
         col("sz") - ceil(lit(threshold) * col("sz")).cast("long") + 1)
@@ -477,6 +502,13 @@ object Dedup {
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
     toks.join(freq, Seq("tok"))
+      // pin the per-doc window's exchange at full width: the candidate
+      // join, dedup and two-pointer verify all PIPELINE on top of this
+      // one exchange (everything else broadcasts), so AQE's byte-based
+      // coalescing of it starves the whole CPU-dense chain — see
+      // verifyParallelism. Same hash keys the window requires, so this
+      // replaces the planner's exchange rather than adding one.
+      .repartition(verifyParallelism(docs), col("id"))
       .withColumn("pos", row_number().over(wOrd).cast("long"))
       .filter(col("pos") <= col("sz") - expr(s"(sz * ${t}L + 999999L) div 1000000L") + 1)
       .select(col("id"), col("tok"), col("sz"), col("pos"))

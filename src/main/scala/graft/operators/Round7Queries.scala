@@ -1821,7 +1821,12 @@ object Round7Queries {
       val wedges = ed.select($"src", $"dst".as("v"), $"dkey".as("k1"))
         .join(ed.select($"src", $"dst".as("w"), $"dkey".as("k2")), Seq("src"))
         .filter($"k1" < $"k2").select($"v", $"w")
-      val closed = wedges.join(ed.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
+      // the closing probe joins the Σd_out²-bounded wedge stream (the big
+      // side) against the |E| oriented edges: broadcast the measured-small
+      // edge set so the wedge stream is never shuffled/sorted (guide §3.1)
+      val closed = wedges.join(
+        AdaptiveJoin.broadcastIfSmall(ed.select($"src".as("v"), $"dst".as("w"))),
+        Seq("v", "w"))
       deg.agg(count(lit(1)).as("n_nodes"),
           expr("CAST(sum((deg * (deg - 1)) div 2) AS BIGINT)").as("n_wedges"))
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
@@ -2112,14 +2117,18 @@ object Round7Queries {
             .join(keep.select($"v".as("a")), Seq("a"), "left_semi")
             .join(keep.select($"v".as("b")), Seq("b"), "left_semi")
             .select($"a", $"b").localCheckpoint()
-          val n = keep.count()
-          val m = edges.count()
-          converged = n == prevN && m == prevM
-          prevN = n
-          prevM = m
           lastSummary = keep.agg(count(lit(1)).as("n_nodes"))
             .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
             .localCheckpoint()
+          // loop control reads the one-row summary ALREADY materialized
+          // by the checkpoint — two extra count() jobs per round were
+          // pure job-launch overhead (guide §1.2: fewer passes)
+          val row = lastSummary.head()
+          val n = row.getLong(0)
+          val m = row.getLong(1)
+          converged = n == prevN && m == prevM
+          prevN = n
+          prevM = m
         }
         lastSummary.select(lit(round).as("round"), $"n_nodes", $"n_edges")
       }

@@ -42,6 +42,11 @@ object Round8cQueries {
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cent_id"), transform(col("pm"), x => x("m")).as("cvec"))
         .withColumn("cn2", Similarity.dot(col("cvec"), col("cvec")))
+        // K-bounded rows, but the PLAN doubles per iteration and every
+        // consumer (next pass, encode, LUT) builds its broadcast by
+        // re-running the whole training subtree — measured at sf0.1 this
+        // re-execution was ~all of q208's cost. Materialize per pass.
+        .localCheckpoint()
     }
     cents
   }

@@ -126,13 +126,17 @@ object Round8tQueries {
     val (e, deg0, oriented0) = ccInputs(s, dir)
     val deg = deg0.localCheckpoint()
     val oriented = oriented0.localCheckpoint()
+    // same measured-size broadcast pick as the single-shot form (one
+    // count decides for every slice's closure semi-join)
+    val closure = AdaptiveJoin.broadcastIfSmall(
+      e.select($"a".as("x"), $"b".as("y")))
     val parts = (0 until slices).map { b =>
       val wedge = oriented.toDF("src", "x")
         .join(oriented.filter(pmod(hash($"dst"), lit(slices)) === b)
           .toDF("src", "y"), Seq("src"))
         .filter($"x" < $"y")
       val tris = wedge
-        .join(e.select($"a".as("x"), $"b".as("y")), Seq("x", "y"), "left_semi")
+        .join(closure, Seq("x", "y"), "left_semi")
         .select($"src", $"x", $"y")
       val pn = tris.select(explode(array($"src", $"x", $"y")).as("v"))
         .groupBy($"v").agg(count(lit(1)).as("tri"))
@@ -280,8 +284,11 @@ object Round8tQueries {
       val (e, deg, oriented) = ccInputs(s, dir)
       val wedge = oriented.toDF("src", "x").join(oriented.toDF("src", "y"), Seq("src"))
         .filter($"x" < $"y")
+      // closure check: broadcast the measured-small edge set so the
+      // Σd_out²-bounded wedge stream is never shuffled/sorted (guide §3.1)
       val tris = wedge
-        .join(e.select($"a".as("x"), $"b".as("y")), Seq("x", "y"), "left_semi")
+        .join(AdaptiveJoin.broadcastIfSmall(e.select($"a".as("x"), $"b".as("y"))),
+          Seq("x", "y"), "left_semi")
         .select($"src", $"x", $"y")
       val perNode = tris.select(explode(array($"src", $"x", $"y")).as("v"))
         .groupBy($"v").agg(count(lit(1)).as("tri"))

@@ -52,7 +52,12 @@ object Round8zQueries {
       .filter($"x" < $"x2")
       .groupBy($"x", $"x2")
       .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
-    wedges.join(pairs.select($"a".as("x"), $"b".as("x2")),
+    // anti-join strategy picked from the MEASURED edge count: a sort-merge
+    // anti here sorts the wedge aggregate (Σdeg²/2 rows — the biggest
+    // table in the query) just to subtract the existing-edge set, which
+    // is orders of magnitude smaller (guide §3.1)
+    wedges.join(
+        AdaptiveJoin.broadcastIfSmall(pairs.select($"a".as("x"), $"b".as("x2"))),
         Seq("x", "x2"), "left_anti")
       .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
         $"aa_micro")
@@ -105,6 +110,11 @@ object Round8zQueries {
     import s.implicits._
     val (pairs, sym, wts0) = wedgeInputs(s, dir, cap)
     val wts = wts0.localCheckpoint()
+    // same measured-size anti-join pick as the single-shot form; the
+    // whole edge set bounds every per-slice subset, so one count decides
+    // for all slices
+    val broadcastAnti =
+      pairs.count() <= AdaptiveJoin.BroadcastRowCap
     val leg1 = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
     val parts = (0 until slices).map { b =>
       val wedges = leg1
@@ -113,9 +123,11 @@ object Round8zQueries {
         .filter($"x" < $"x2")
         .groupBy($"x", $"x2")
         .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
+      val anti0 = pairs.filter(pmod(hash($"b"), lit(slices)) === b)
+        .select($"a".as("x"), $"b".as("x2"))
       val top = wedges
-        .join(pairs.filter(pmod(hash($"b"), lit(slices)) === b)
-          .select($"a".as("x"), $"b".as("x2")), Seq("x", "x2"), "left_anti")
+        .join(if (broadcastAnti) broadcast(anti0) else anti0,
+          Seq("x", "x2"), "left_anti")
         .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
           $"aa_micro")
         .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
