@@ -13,6 +13,21 @@ import org.apache.spark.sql.SparkSession
   * sf0.1; pass a /path argument to override).
   */
 object PlanDump {
+  /** Synthetic entries for sub-pipelines a query materializes behind a
+    * localCheckpoint (whose formatted plan would otherwise collapse to a
+    * LogicalRDD leaf): the exact builder the query calls, un-checkpointed,
+    * so the committed plan evidence shows the real candidate/verify shape.
+    */
+  private val builders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // q410's checkpointed pair table (Round11nQueries.scala:70)
+    "sub_q410_ppjoin_micro" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.spread(Tables.t(s, d, "documents")).select(
+        col("doc_id").as("id"),
+        graft.ext.TextAnalysis.charNgramInts(col("text"), 3).as("grams"))
+      graft.ext.Dedup.prefixFilterPairsMicro(docs, 500000L)
+    }))
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val suffix = args(1)
@@ -27,7 +42,9 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = builders.getOrElse(name,
+        (s: SparkSession, d: String) => SparkEntry.queries(name)(s, d))
+        .apply(spark, dir)
       // queryExecution.explainString avoids stdout capture plumbing
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
