@@ -18,6 +18,51 @@ object Bench {
     measure(only, outPath, reps)
   }
 
+  /** The one-line artifact. `partial=true` marks an in-flight write (the
+    * per-query checkpointing below); the final write drops the marker so
+    * pinned artifacts keep the exact historical format.
+    */
+  private def artifactLine(results: Seq[(String, Double)], sfDir: String,
+      partial: Boolean): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // total = wall time spent (failures still took their elapsed time)
+    val total = results.map(r => math.abs(r._2)).sum
+    val p = if (partial) "\"partial\":true," else ""
+    s"""{"metric":"total","value":$total,"unit":"sec",$p"queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  private def writeArtifact(line: String, outPath: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+
+  /** Scratch preflight (VERDICT r13 #2): the driver's 8-core scaling run
+    * died mid-shuffle with a DiskBlockObjectWriter FileNotFoundException —
+    * shuffle scratch vanished under a live JVM (box disk pressure).
+    * Point spark.local.dir at a TempScratch-managed dir (recursively
+    * removed on JVM exit, so a crashed battery can't leak tens of GB of
+    * shuffle files into the next run's disk budget) and report free space
+    * up front so a doomed run says so in its head, not 35 minutes in.
+    * The q296 family alone spills ~15–21 GB at sf0.1.
+    */
+  private def scratchDir(): String = {
+    val d = TempScratch.dir("spark_local")
+    val freeGb =
+      try java.nio.file.Files.getFileStore(d).getUsableSpace / (1L << 30)
+      catch { case _: Throwable => -1L }
+    if (freeGb >= 0 && freeGb < 40)
+      System.err.println(s"[bench] WARNING: only $freeGb GiB free under $d — " +
+        "the battery spills >20 GiB at sf0.1 and may die mid-shuffle")
+    else
+      System.err.println(s"[bench] shuffle scratch: $d ($freeGb GiB free)")
+    d.toString
+  }
+
   /** The measurement loop, shared with BenchClose: fresh session,
     * untimed warmup across the main plan shapes (agg, window,
     * regex+join, higher-order/codegen kernels, ANN) so no timed query
@@ -26,6 +71,11 @@ object Bench {
     * column (count() would let Catalyst prune the projections being
     * benched); a failed query records NEGATIVE elapsed so it can't
     * pass as fast; min-of-reps per query.
+    *
+    * The artifact file is rewritten after EVERY query (cheap: ~25 KB),
+    * so a JVM death mid-battery leaves a partial per-query record
+    * (marked "partial":true) instead of nothing — the r13 scaling run
+    * produced rc=1 and zero data (VERDICT r13 #2).
     */
   def measure(only: Option[Set[String]], outPath: String, reps: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,6 +84,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", scratchDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,9 +94,10 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    names.foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -54,22 +106,25 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) dt else -dt
       }
-      name -> (if (times.exists(_ < 0)) times.filter(_ < 0).head
-               else times.min)
+      results += (name -> (if (times.exists(_ < 0)) times.filter(_ < 0).head
+                           else times.min))
+      // per-query checkpoint: a partial artifact survives a JVM death
+      writeArtifact(artifactLine(results.toSeq, sfDir, partial = true), outPath)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // total = wall time spent (failures still took their elapsed time)
+    val line = artifactLine(results.toSeq, sfDir, partial = false)
+    writeArtifact(line, outPath)
+    // The driver parses a BOUNDED (~2 KB) stdout tail. At 410 queries the
+    // full contract line is ~25 KB and has been unparseable two rounds
+    // running (PERF_r12/r13 empty — VERDICT r13 #1). Print the full line
+    // only when it fits that tail; otherwise print a compact line with
+    // the same schema (total + empty queries map + pointer to the full
+    // per-query artifact). Either way it is the LAST stdout line.
     val total = results.map(r => math.abs(r._2)).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    val stdoutLine =
+      if (line.length <= 1500) line
+      else s"""{"metric":"total","value":$total,"unit":"sec","queries":{},""" +
+        s""""n_queries":${results.size},"queries_file":"$outPath","sf":"$sfDir"}"""
+    println(stdoutLine)
     spark.stop()
   }
 }
