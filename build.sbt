@@ -30,9 +30,10 @@ val jdk17AddOpens = Seq(
 // 12-24g readings were inside the box's ±2x noise. Spill to fast local
 // disk is the cheaper regime for these one-box batch shapes.
 // SPARK_GRAFT_EXTRA_JAVA_OPTS passes ad-hoc -D/-X flags to forked runs
-// for config experiments without editing the build.
+// for config experiments without editing the build. Whitespace-split;
+// no quoting, so a flag VALUE cannot itself contain whitespace.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+) ++ sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

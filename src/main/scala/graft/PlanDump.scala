@@ -19,14 +19,11 @@ object PlanDump {
     * so the committed plan evidence shows the real candidate/verify shape.
     */
   private val builders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    // q410's checkpointed pair table (Round11nQueries.scala:70)
-    "sub_q410_ppjoin_micro" -> ((s: SparkSession, d: String) => {
-      import org.apache.spark.sql.functions._
-      val docs = Tables.spread(Tables.t(s, d, "documents")).select(
-        col("doc_id").as("id"),
-        graft.ext.TextAnalysis.charNgramInts(col("text"), 3).as("grams"))
-      graft.ext.Dedup.prefixFilterPairsMicro(docs, 500000L)
-    }))
+    // q410's checkpointed pair table — the SAME builder the query calls
+    // (Round11nQueries.q410PairTable), so this dump cannot drift from
+    // what actually runs
+    "sub_q410_ppjoin_micro" ->
+      ((s: SparkSession, d: String) => operators.Round11nQueries.q410PairTable(s, d)))
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)

@@ -28,7 +28,25 @@ object AdaptiveJoin {
     */
   val BroadcastRowCap = 4000000L
 
+  /** The measured pick itself, exposed so staged forms can make ONE
+    * decision and apply it to every slice (a per-slice re-count would
+    * both cost a job per slice and risk slices disagreeing on strategy).
+    *
+    * NOTE the cap prices NARROW rows (two longs ≈ 32 B built); a caller
+    * whose rows carry arrays/strings must pass a proportionally smaller
+    * `cap` — the gate is row count, not bytes.
+    */
+  def isSmall(checkpointed: DataFrame, cap: Long = BroadcastRowCap): Boolean =
+    checkpointed.count() <= cap
+
+  /** Apply an already-made pick: hint or pass through unchanged. */
+  def broadcastIf(flag: Boolean, df: DataFrame): DataFrame =
+    if (flag) broadcast(df) else df
+
+  /** One-shot form: count the materialized frame and hint if small.
+    * Same narrow-row precondition as [[isSmall]].
+    */
   def broadcastIfSmall(checkpointed: DataFrame,
                        cap: Long = BroadcastRowCap): DataFrame =
-    if (checkpointed.count() <= cap) broadcast(checkpointed) else checkpointed
+    broadcastIf(isSmall(checkpointed, cap), checkpointed)
 }

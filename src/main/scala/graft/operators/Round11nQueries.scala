@@ -47,6 +47,20 @@ object Round11nQueries {
       .orderBy($"tau_micro")
   }
 
+  /** q410's pair table, UN-checkpointed — the exact builder the query
+    * materializes behind its localCheckpoint. Shared with PlanDump's
+    * `sub_q410_ppjoin_micro` evidence entry so the committed plan IS the
+    * executed plan by construction (a drifting copy would silently
+    * invalidate the plans/rNN dumps).
+    */
+  private[graft] def q410PairTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
+      $"doc_id".as("id"),
+      TA.charNgramInts($"text", 3).as("grams")) // sorted distinct longs
+    Dedup.prefixFilterPairsMicro(docs, 500000L)
+  }
+
   def queries: Seq[(String, QFn, Option[String])] = Seq(
 
     // ----- recall-lossless threshold sweep ----------------------------------
@@ -63,11 +77,7 @@ object Round11nQueries {
     // sweep the sparse shingle universe instead (q411's side, which
     // completes ×10).
     ("q410_threshold_curve_exact", (s: SparkSession, dir: String) => {
-      import s.implicits._
-      val docs = Tables.spread(Tables.t(s, dir, "documents")).select(
-        $"doc_id".as("id"),
-        TA.charNgramInts($"text", 3).as("grams")) // sorted distinct longs
-      val pairs = Dedup.prefixFilterPairsMicro(docs, 500000L)
+      val pairs = q410PairTable(s, dir)
         .localCheckpoint() // reused by the 5 cuts
       sweep(s, pairs)
     }, Some("""

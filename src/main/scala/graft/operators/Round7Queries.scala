@@ -2120,9 +2120,9 @@ object Round7Queries {
           lastSummary = keep.agg(count(lit(1)).as("n_nodes"))
             .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
             .localCheckpoint()
-          // loop control reads the one-row summary ALREADY materialized
-          // by the checkpoint — two extra count() jobs per round were
-          // pure job-launch overhead (guide §1.2: fewer passes)
+          // loop control reads the checkpointed one-row summary: one
+          // cheap local-block read (head) replaces the two full count()
+          // jobs per round it used to launch (guide §1.2: fewer passes)
           val row = lastSummary.head()
           val n = row.getLong(0)
           val m = row.getLong(1)

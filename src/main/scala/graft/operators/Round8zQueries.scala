@@ -113,8 +113,7 @@ object Round8zQueries {
     // same measured-size anti-join pick as the single-shot form; the
     // whole edge set bounds every per-slice subset, so one count decides
     // for all slices
-    val broadcastAnti =
-      pairs.count() <= AdaptiveJoin.BroadcastRowCap
+    val broadcastAnti = AdaptiveJoin.isSmall(pairs)
     val leg1 = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
     val parts = (0 until slices).map { b =>
       val wedges = leg1
@@ -126,7 +125,7 @@ object Round8zQueries {
       val anti0 = pairs.filter(pmod(hash($"b"), lit(slices)) === b)
         .select($"a".as("x"), $"b".as("x2"))
       val top = wedges
-        .join(if (broadcastAnti) broadcast(anti0) else anti0,
+        .join(AdaptiveJoin.broadcastIf(broadcastAnti, anti0),
           Seq("x", "x2"), "left_anti")
         .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
           $"aa_micro")
