@@ -1374,4 +1374,99 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name has a row-level cross join:\n$plan")
     }
   }
+
+  // ----- round-13 optimization shapes (VERDICT r13 #3) ---------------------
+  // The r13 wins were evidenced by committed plan dumps but never
+  // regression-guarded; one AQE default change or a careless edit would
+  // silently restore the 20 GB anti-join sort-spill / the 5-task verify
+  // starvation / the 250-node training replan. Pin them here.
+
+  test("q296/q321 anti-join broadcasts the edge set (never the SMJ sort-spill)") {
+    // r13: SortMergeJoin LeftAnti sorted the Σdeg²/2-row wedge aggregate
+    // (20.6 GB spill at sf0.1) to subtract a ~600k-row edge set. The
+    // measured-count pick (AdaptiveJoin.broadcastIfSmall) must keep this
+    // a BroadcastHashJoin LeftAnti whenever the edge set is under the cap
+    // — which it always is at test scale.
+    for (name <- Seq("q296_adamic_adar", "q321_adamic_adar_capped")) {
+      val df = SparkEntry.queries(name)(spark, TestSpark.Sf)
+      df.collect()
+      val plan = PlanText.planStr(df)
+      assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(plan).isDefined,
+        s"$name anti-join not broadcast (sort-spill shape restored):\n$plan")
+      assert("SortMergeJoin.*LeftAnti".r.findFirstIn(plan).isEmpty,
+        s"$name sort-merge LeftAnti returned:\n$plan")
+    }
+  }
+
+  test("q272 closure and q160 closing probe broadcast the edge set") {
+    // r13: both probes join a Σdeg²-bounded wedge stream against the |E|
+    // edge list; broadcasting the measured-small edge set keeps the wedge
+    // stream un-shuffled (q160's 354 MB wedge exchange was eliminated)
+    val cc = SparkEntry.queries("q272_local_clustering")(spark, TestSpark.Sf)
+    cc.collect()
+    val ccPlan = PlanText.planStr(cc)
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(ccPlan).isDefined,
+      s"q272 closure not a broadcast left-semi:\n$ccPlan")
+    val tri = SparkEntry.queries("q160_triangle_count")(spark, TestSpark.Sf)
+    tri.collect()
+    val triPlan = PlanText.planStr(tri)
+    assert(triPlan.contains("BroadcastHashJoin"),
+      s"q160 closing probe not broadcast (wedge stream shuffles again):\n$triPlan")
+  }
+
+  test("prefix chain: the one exchange is pinned REPARTITION_BY_NUM on id, not AQE-coalesced") {
+    // r13: AQE's byte-based coalescing collapsed the chain's single
+    // narrow-row exchange to 5 partitions under a CPU-dense verify
+    // (132 task-s on 5 tasks). The explicit repartition(n, id) pin must
+    // survive — checked on q97's executed plan AND on q410's shared
+    // pair-table builder (whose query-side plan checkpoint-collapses).
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def pinnedUnder(p: SparkPlan): Boolean = p match {
+      case e: ShuffleExchangeExec => e.shuffleOrigin == REPARTITION_BY_NUM
+      case s: ShuffleQueryStageExec => pinnedUnder(s.plan)
+      case r: ReusedExchangeExec => pinnedUnder(r.child)
+      case _ => false
+    }
+    val want = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    val dfs = Seq(
+      "q97_dedup_prefix_filter" ->
+        SparkEntry.queries("q97_dedup_prefix_filter")(spark, TestSpark.Sf),
+      "q410 pair table" ->
+        operators.Round11nQueries.q410PairTable(spark, TestSpark.Sf))
+    for ((name, df) <- dfs) {
+      df.collect()
+      val nodes = PlanText.finalNodes(df)
+      val pins = nodes.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == REPARTITION_BY_NUM => e
+      }
+      assert(pins.nonEmpty,
+        s"$name: explicit repartition pin gone:\n${PlanText.planStr(df)}")
+      assert(pins.exists(e => e.outputPartitioning.numPartitions == want &&
+          e.outputPartitioning.toString.contains("id")),
+        s"$name: pin is not hashpartitioning(id, $want):\n${PlanText.planStr(df)}")
+      val readsOnPin = nodes.collect {
+        case r: AQEShuffleReadExec if pinnedUnder(r.child) => r
+      }
+      assert(readsOnPin.isEmpty,
+        s"$name: AQE re-read (coalesce/skew) sits on the pinned exchange:\n${PlanText.planStr(df)}")
+    }
+  }
+
+  test("q208 ADC: Lloyd training materialized once — no training subtree in consumers") {
+    // r13: every broadcast consumer (next pass, encode, LUT ×2 subspaces)
+    // re-executed the whole training subtree (250-node plan, 27-60
+    // task-seconds per stage on a 0.7 MB input). The per-pass
+    // localCheckpoint must keep training OUT of the final plan.
+    val df = SparkEntry.queries("q208_pq_adc")(spark, TestSpark.Sf)
+    df.collect()
+    val plan = PlanText.planStr(df)
+    assert(!plan.contains("posexplode"),
+      s"Lloyd training chain leaked into the search plan:\n$plan")
+    val n = PlanText.finalNodes(df).size
+    assert(n < 150,
+      s"q208 plan ballooned to $n nodes — training re-execution is back")
+  }
 }
