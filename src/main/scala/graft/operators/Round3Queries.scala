@@ -554,15 +554,27 @@ object Round3Queries {
       import s.implicits._
       // find holes in a supposedly-dense key sequence — the page-planner
       // sanity check before range-partitioned extraction: a gap bigger
-      // than the page size silently yields empty pages. The global-order
-      // window runs over the narrow pk projection only; at 100 TB this
-      // becomes lead() over range-partitioned sortWithinPartitions with
-      // a one-row boundary exchange, same semantics.
+      // than the page size silently yields empty pages. Distributed
+      // two-level lead (r14; was a single-partition corpus window):
+      // within a 64k-key bucket, lead() runs partitioned by bucket; each
+      // bucket's MAX key takes its successor from the bucket-minima grid
+      // (|pk range|/65536 rows — the q106 grid convention), whose own
+      // lead window is grid-sized. Identical output: every key's
+      // successor is either in its bucket or the next non-empty
+      // bucket's minimum.
       val keys = Tables.t(s, dir, "orders")
         .filter($"o_orderkey" % 13 =!= 0) // punch deterministic holes
         .select($"o_orderkey".as("pk"))
-      val w = Window.orderBy($"pk")
-      keys.withColumn("next_pk", lead($"pk", 1).over(w))
+        .withColumn("b", expr("pk div 65536"))
+      val wIn = Window.partitionBy($"b").orderBy($"pk")
+      val grid = keys.groupBy($"b").agg(min($"pk").as("bmin"))
+      val wG = Window.orderBy($"b") // bucket grid, not corpus rows
+      val nxt = grid
+        .withColumn("next_bmin", lead($"bmin", 1).over(wG))
+        .select($"b", $"next_bmin")
+      keys.withColumn("next_in", lead($"pk", 1).over(wIn))
+        .join(nxt, Seq("b"))
+        .withColumn("next_pk", coalesce($"next_in", $"next_bmin"))
         .filter($"next_pk" - $"pk" > 1)
         .select(($"pk" + 1).as("gap_start"), ($"next_pk" - 1).as("gap_end"),
           ($"next_pk" - $"pk" - 1).as("gap_len"))

@@ -117,8 +117,11 @@ object Round8eQueries {
       val freq = Tables.spread(Tables.t(s, dir, "documents"))
         .select(explode(shingleOccurrences($"text")).as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("f"))
-      val wv = Window.orderBy(desc("f"), $"tok")
-      val ranked = freq.withColumn("rnk", row_number().over(wv))
+      // distributed vocab rank (r14; was a single-partition window over
+      // the whole vocabulary): GridRank range-buckets on f and produces
+      // bit-identical row numbers with bounded per-task state
+      val ranked = graft.ext.GridRank.withRowNumber(
+        freq, "f", Seq($"tok"), "rnk", descending = true)
       val tot = freq.agg(sum($"f").as("total"), count(lit(1)).as("n_vocab"))
       ranked.select(explode(array(Seq(1000L, 2000L, 4000L, 8000L).map(lit): _*))
           .as("vocab_size"), $"rnk", $"f")

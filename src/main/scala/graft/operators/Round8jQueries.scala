@@ -29,18 +29,27 @@ object Round8jQueries {
     // other on price, so the running max must only cover cheaper rows —
     // a range frame keyed on the price value handles tie groups
     // exactly). Price quantizes to cents first (the money rule), so
-    // frame bounds are integer-exact. The window is a single global
-    // sort at test SF; at 100 TB the standard move is range-partition
-    // by price and carry one per-partition prefix-max — same algebra,
-    // the sort becomes the existing partition order.
+    // frame bounds are integer-exact. The prefix-max runs over the
+    // distinct-price grid and joins back to the rows, so no corpus-sized
+    // single-partition window exists at any scale.
     ("q225_skyline", (s: SparkSession, dir: String) => {
       import s.implicits._
       val p = Tables.t(s, dir, "part")
         .select($"p_partkey", $"p_size".cast("long").as("size"),
           floor($"p_retailprice" * 100 + lit(0.5)).cast("long").as("price_cents"))
-      val w = Window.orderBy($"price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      p.withColumn("best_cheaper", max($"size").over(w))
+      // distributed form (r14; was a single-partition window over every
+      // part row): best_cheaper is constant per distinct price, so run
+      // the prefix-max over the |distinct prices| VALUE GRID (bounded by
+      // the price domain, not the corpus — the house grid convention)
+      // and join it back by price. rowsBetween(-1) on the distinct grid
+      // ≡ rangeBetween(-1) on raw rows: both see exactly the strictly
+      // cheaper prices.
+      val grid = p.groupBy($"price_cents").agg(max($"size").as("gmax"))
+      val wg = Window.orderBy($"price_cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bc = grid.withColumn("best_cheaper", max($"gmax").over(wg))
+        .select($"price_cents", $"best_cheaper")
+      p.join(bc, Seq("price_cents"))
         .filter($"best_cheaper".isNull || $"size" > $"best_cheaper")
         .select($"p_partkey", $"price_cents", $"size",
           coalesce($"best_cheaper", lit(-1L)).as("best_cheaper_size"))

@@ -136,20 +136,23 @@ object Round8qQueries {
     // total Information Value Σ (g − b)·WoE saying whether the feature
     // separates the classes at all. Shares in parts-per-million, WoE in
     // micro-ln, the IV product in 128-bit. One pass bins, one aggregate
-    // scores — at 100 TB the ntile becomes the q217 equi-depth
-    // boundaries (sketch-based), everything else is a bounded rollup.
+    // scores.
     ("q260_woe_iv", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val o = Tables.t(s, dir, "orders")
+      val o0 = Tables.t(s, dir, "orders")
         .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
           .as("cents"),
           $"o_orderkey".as("okey"),
           (substring($"o_orderpriority", 1, 1) <= "2").as("good"))
-        // okey tie-break: equal prices at a bin boundary would otherwise
-        // land nondeterministically — the q237 total-order rule
-        .withColumn("bin",
-          ntile(5).over(Window.orderBy($"cents", $"okey")).cast("long"))
-      val tot = o.agg(
+      // distributed exact ntile (r14; was a single-partition window over
+      // every order row): GridRank.withNtile range-buckets on cents and
+      // replays Spark's exact ntile fill rule — bit-identical ranks/bins
+      // at any bucket count (GridRankSpec), bounded per-task state at
+      // any scale. okey tie-break — the q237 total-order rule.
+      val o = graft.ext.GridRank
+        .withNtile(o0, 5, "cents", Seq($"okey"), "bin")
+        .withColumn("bin", $"bin".cast("long"))
+      val tot = o0.agg(
         sum(when($"good", 1L).otherwise(0L)).as("tg"),
         sum(when(!$"good", 1L).otherwise(0L)).as("tb"))
       val bins = o.groupBy($"bin")

@@ -206,12 +206,15 @@ object Round9bQueries {
     // 5-row broadcast.
     ("q324_sketch_capacity", (s: SparkSession, dir: String) => {
       import s.implicits._
-      val f = Tables.spread(Tables.t(s, dir, "documents"))
-        .select(explode(split(TA.normText($"text"), " ")).as("tok"))
-        .filter($"tok" =!= "")
-        .groupBy($"tok").agg(count(lit(1)).as("f"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(desc("f"), $"tok")))
+      // distributed vocab rank (r14; was a single-partition window over
+      // the whole vocabulary): GridRank range-buckets on f — bit-identical
+      // row numbers, bounded per-task state (GridRankSpec)
+      val f = graft.ext.GridRank.withRowNumber(
+          Tables.spread(Tables.t(s, dir, "documents"))
+            .select(explode(split(TA.normText($"text"), " ")).as("tok"))
+            .filter($"tok" =!= "")
+            .groupBy($"tok").agg(count(lit(1)).as("f")),
+          "f", Seq($"tok"), "rn", descending = true)
         .localCheckpoint() // reused per k-grid row
       val tot = f.agg(sum($"f").as("nn"))
       val ks = Seq(8L, 16L, 32L, 64L, 128L).map(Tuple1(_)).toDF("k")
