@@ -27,8 +27,8 @@ object StageProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(name: String, wallMs: Long, taskMs: Long, tasks: Int,
-                  inputMB: Double, srMB: Double, swMB: Double, spillMB: Double,
-                  rows: Long)
+                  inputMB: Double, srMB: Double, swMB: Double,
+                  spillMemMB: Double, spillDiskMB: Double, rows: Long)
     val stages = mutable.ArrayBuffer[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -42,7 +42,7 @@ object StageProfile {
             m.inputMetrics.bytesRead / 1e6,
             m.shuffleReadMetrics.remoteBytesRead / 1e6 + m.shuffleReadMetrics.localBytesRead / 1e6,
             m.shuffleWriteMetrics.bytesWritten / 1e6,
-            (m.memoryBytesSpilled + m.diskBytesSpilled) / 1e6,
+            m.memoryBytesSpilled / 1e6, m.diskBytesSpilled / 1e6,
             m.shuffleWriteMetrics.recordsWritten)
         }
       }
@@ -60,9 +60,12 @@ object StageProfile {
       SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"\n=== $name  total ${dt}%.2f s ===")
-      println(f"${"stage"}%-60s ${"wall_s"}%8s ${"task_s"}%8s ${"tasks"}%5s ${"in_MB"}%9s ${"sr_MB"}%9s ${"sw_MB"}%9s ${"spill"}%7s ${"sw_rows"}%10s")
+      // spill split: spill_m = memoryBytesSpilled (in-memory size of data
+      // evicted — the pressure signal), spill_d = diskBytesSpilled (bytes
+      // actually written, post-compression — the I/O paid)
+      println(f"${"stage"}%-60s ${"wall_s"}%8s ${"task_s"}%8s ${"tasks"}%5s ${"in_MB"}%9s ${"sr_MB"}%9s ${"sw_MB"}%9s ${"spill_m"}%8s ${"spill_d"}%8s ${"sw_rows"}%10s")
       stages.synchronized(stages.toSeq).sortBy(-_.taskMs).foreach { s =>
-        println(f"${s.name}%-60s ${s.wallMs / 1e3}%8.2f ${s.taskMs / 1e3}%8.1f ${s.tasks}%5d ${s.inputMB}%9.1f ${s.srMB}%9.1f ${s.swMB}%9.1f ${s.spillMB}%7.0f ${s.rows}%10d")
+        println(f"${s.name}%-60s ${s.wallMs / 1e3}%8.2f ${s.taskMs / 1e3}%8.1f ${s.tasks}%5d ${s.inputMB}%9.1f ${s.srMB}%9.1f ${s.swMB}%9.1f ${s.spillMemMB}%8.0f ${s.spillDiskMB}%8.0f ${s.rows}%10d")
       }
     }
     spark.stop()

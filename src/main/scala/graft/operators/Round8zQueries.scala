@@ -43,13 +43,42 @@ object Round8zQueries {
     * reproduces the exact result bit-for-bit (Round8zSpec pins this);
     * measured at sf0.1, cap = 128 halves Σdeg² (3.0e8 → 1.5e8).
     */
+  /** Wedge-aggregate sizing (r14, guide §2.2/§5): target rows per
+    * aggregate task. At sf0.1 the 32-wide aggregate held ~4 M groups of
+    * hash state per task and sort-spilled ~15 GB on each side of the
+    * exchange, while the map-side partial pass reduced the wedge stream
+    * by only 3.6 % (145.7 M → 140.5 M rows) — the group key (x, x2) is
+    * scattered across map tasks, so partial aggregation is pure
+    * overhead here. 500 k rows/task keeps both hash maps of the
+    * post-exchange partial+final pair ≤ ~25 MB — inside a fair task
+    * share of the execution pool at 32 concurrent tasks on the 8 g
+    * default heap — and derives the width from the DATA (measured wedge
+    * count), not the core count, so the same rule sizes the aggregate
+    * at any SF or cluster width.
+    */
+  private val WedgeRowsPerTask = 500000L
+
   private[graft] def adamicAdar(s: SparkSession, dir: String,
       cap: Long): DataFrame = {
     import s.implicits._
     val (pairs, sym, wts) = wedgeInputs(s, dir, cap)
+    // measured wedge volume Σ C(deg,2) over capped centers — one tiny
+    // aggregate over the checkpointed edge list (≤ |V| groups)
+    val nWedges = sym.groupBy($"w").agg(count(lit(1)).as("deg"))
+      .filter($"deg" >= 2 && $"deg" <= cap)
+      .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    val aggWidth = math.max(s.sparkContext.defaultParallelism.toLong,
+      (nWedges + WedgeRowsPerTask - 1) / WedgeRowsPerTask).toInt
+    // repartition on the GROUP key moves the exchange BELOW the
+    // aggregation: the map side becomes a pure join + shuffle write (no
+    // hash map, no sort-fallback), and the one aggregation runs at a
+    // width where per-task state fits (REPARTITION_BY_NUM also keeps
+    // AQE from re-coalescing this CPU-dense stage by bytes)
     val wedges = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
       .join(sym.toDF("w", "x2"), Seq("w"))
       .filter($"x" < $"x2")
+      .repartition(aggWidth, $"x", $"x2")
       .groupBy($"x", $"x2")
       .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
     // anti-join strategy picked from the MEASURED edge count: a sort-merge

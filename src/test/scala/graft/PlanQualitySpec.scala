@@ -1395,6 +1395,27 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name anti-join not broadcast (sort-spill shape restored):\n$plan")
       assert("SortMergeJoin.*LeftAnti".r.findFirstIn(plan).isEmpty,
         s"$name sort-merge LeftAnti returned:\n$plan")
+      // r14: the wedge aggregate's exchange must sit BELOW the
+      // aggregation (explicit repartition on the group key, width from
+      // the measured wedge count) — no map-side HashAggregate under the
+      // exchange. At sf0.1 the map-side partial pass reduced rows 3.6 %
+      // while sort-spilling 16 GB, and the 32-wide final spilled 15 GB
+      // more; the repartitioned shape runs the aggregate spill-free.
+      import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+      import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+      val nodes = PlanText.finalNodes(df)
+      val pin = nodes.collect {
+        case e: ShuffleExchangeExec if e.shuffleOrigin == REPARTITION_BY_NUM &&
+          e.outputPartitioning.toString.contains("x2") => e
+      }
+      assert(pin.nonEmpty,
+        s"$name: wedge-aggregate repartition pin gone:\n$plan")
+      val aggBelowPin = pin.head.collect {
+        case a: HashAggregateExec if a.groupingExpressions.exists(
+          _.toString.contains("x2")) => a
+      }.filterNot(_ eq pin.head)
+      assert(aggBelowPin.isEmpty,
+        s"$name: map-side wedge aggregate reappeared below the exchange:\n$plan")
     }
   }
 
