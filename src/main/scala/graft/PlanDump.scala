@@ -23,7 +23,14 @@ object PlanDump {
     // (Round11nQueries.q410PairTable), so this dump cannot drift from
     // what actually runs
     "sub_q410_ppjoin_micro" ->
-      ((s: SparkSession, d: String) => operators.Round11nQueries.q410PairTable(s, d)))
+      ((s: SparkSession, d: String) => operators.Round11nQueries.q410PairTable(s, d)),
+    // q353's slice 0 — the staged loop's exact per-slice chain (same
+    // shared builder), un-checkpointed so the fanout/aggregate shape
+    // is visible
+    "sub_q353_slice" ->
+      ((s: SparkSession, d: String) => operators.Round8zQueries
+        .adamicAdarSliceForPlan(s, d, operators.Round9Queries.AaCap,
+          operators.Round11Queries.StagedSlices)))
 
   def main(args: Array[String]): Unit = {
     val outDir = args(0)

@@ -130,6 +130,13 @@ object Round8tQueries {
     // count decides for every slice's closure semi-join)
     val closure = AdaptiveJoin.broadcastIfSmall(
       e.select($"a".as("x"), $"b".as("y")))
+    // NOT width-pinned (r14, measured): the slice wedge join here is a
+    // broadcast probe over the 10-partition orientation checkpoint with
+    // NO exchange on the probe side — ~9.5 task-s per slice across 10
+    // balanced tasks. Repartitioning the probe leg to 32 was tried and
+    // made the slice stages 4.5× more expensive (extra shuffle + wider
+    // sort/build overhead for tiny per-task work); reverted. The r13
+    // pin rule applies to STARVED CPU-dense stages, not balanced ones.
     val parts = (0 until slices).map { b =>
       val wedge = oriented.toDF("src", "x")
         .join(oriented.filter(pmod(hash($"dst"), lit(slices)) === b)

@@ -134,6 +134,46 @@ object Round8zQueries {
     * are the failure baselines). The weight table is checkpointed
     * once (≤ |V| rows) so slices don't recompute the degree scan.
     */
+  /** One staged slice's chain (wedge fanout → exact per-slice aggregate
+    * → anti-join → slice top-20), shared between the staged loop and
+    * [[adamicAdarSliceForPlan]] so the committed slice-plan evidence is
+    * the executed plan by construction (the staged query's own final
+    * plan collapses to checkpointed LogicalRDD scans).
+    */
+  private def sliceTop(s: SparkSession, leg1: DataFrame, sym: DataFrame,
+      pairs: DataFrame, broadcastAnti: Boolean, slices: Int,
+      b: Int): DataFrame = {
+    import s.implicits._
+    val wedges = leg1
+      .join(sym.toDF("w", "x2")
+        .filter(pmod(hash($"x2"), lit(slices)) === b), Seq("w"))
+      .filter($"x" < $"x2")
+      .groupBy($"x", $"x2")
+      .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
+    val anti0 = pairs.filter(pmod(hash($"b"), lit(slices)) === b)
+      .select($"a".as("x"), $"b".as("x2"))
+    wedges
+      .join(AdaptiveJoin.broadcastIf(broadcastAnti, anti0),
+        Seq("x", "x2"), "left_anti")
+      .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
+        $"aa_micro")
+      .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
+  }
+
+  /** PlanDump evidence entry: slice 0 of the staged form, un-checkpointed,
+    * built with the exact inputs (checkpointed weight table, measured
+    * anti pick, width-pinned leg) the staged loop uses.
+    */
+  private[graft] def adamicAdarSliceForPlan(s: SparkSession, dir: String,
+      cap: Long, slices: Int): DataFrame = {
+    import s.implicits._
+    val (pairs, sym, wts0) = wedgeInputs(s, dir, cap)
+    val wts = wts0.localCheckpoint()
+    val broadcastAnti = AdaptiveJoin.isSmall(pairs)
+    val leg1 = sym.join(wts, Seq("w"))
+    sliceTop(s, leg1, sym, pairs, broadcastAnti, slices, 0)
+  }
+
   private[graft] def adamicAdarStaged(s: SparkSession, dir: String,
       cap: Long, slices: Int): DataFrame = {
     import s.implicits._
@@ -143,22 +183,21 @@ object Round8zQueries {
     // whole edge set bounds every per-slice subset, so one count decides
     // for all slices
     val broadcastAnti = AdaptiveJoin.isSmall(pairs)
+    // NOT width-pinned (r14, measured): AQE's byte-based coalescing runs
+    // the slice fanout at 16 tasks at sf0.1 (28 MB shuffled in), which
+    // looks like the r13 prefix-chain starvation — but pinning sym's
+    // exchange to full width (REPARTITION_BY_NUM on w, reused by both
+    // join legs) measured NEUTRAL-TO-WORSE in an interleaved A/B
+    // (min-of-2: old 19.8 s vs pinned 21.3 s), the wider sort/merge
+    // overhead eating the extra cores on this slice volume. And the
+    // starvation is a small-bytes artifact: at production volumes the
+    // per-slice wedge bytes keep AQE's own coalescing wide. Rejected;
+    // see BENCHNOTES r14. (A pin on leg1's OUTPUT was also tried and
+    // silently vanished — its child already satisfied hash(w, 32), so
+    // EnsureRequirements dropped the redundant exchange.)
     val leg1 = sym.join(wts, Seq("w")) // cap applied BEFORE the fanout
     val parts = (0 until slices).map { b =>
-      val wedges = leg1
-        .join(sym.toDF("w", "x2")
-          .filter(pmod(hash($"x2"), lit(slices)) === b), Seq("w"))
-        .filter($"x" < $"x2")
-        .groupBy($"x", $"x2")
-        .agg(count(lit(1)).as("n_common"), sum($"wm").as("aa_micro"))
-      val anti0 = pairs.filter(pmod(hash($"b"), lit(slices)) === b)
-        .select($"a".as("x"), $"b".as("x2"))
-      val top = wedges
-        .join(AdaptiveJoin.broadcastIf(broadcastAnti, anti0),
-          Seq("x", "x2"), "left_anti")
-        .select($"x".as("item_a"), $"x2".as("item_b"), $"n_common",
-          $"aa_micro")
-        .orderBy(desc("aa_micro"), $"item_a", $"item_b").limit(20)
+      val top = sliceTop(s, leg1, sym, pairs, broadcastAnti, slices, b)
         .localCheckpoint() // eager: THIS slice's job runs to completion here
       // the finished slice's shuffle lineage is now unreferenced; a GC
       // lets the ContextCleaner drop its shuffle files before the next
